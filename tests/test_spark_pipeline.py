@@ -1,0 +1,185 @@
+"""Spark-engine integration tests: bit-exact signature parity, candidate-pair
+completeness, type-7 quantile parity (quirk Q4), connected components, and the
+headline dup-pair-recall gate (BASELINE.json: recall >= 0.99 vs the seeded
+reference oracle at equal k / n_hash / seeds)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dynaalign_spark import oracle
+from dynaalign_spark.config import PARITY
+from dynaalign_spark.fixtures import images_df, make_edge_case, make_images
+from dynaalign_spark.operators.clusterbreak import clusterbreak_spark
+from dynaalign_spark.operators.components import connected_components
+from dynaalign_spark.operators.lsh import candidate_pairs
+from dynaalign_spark.operators.signatures import add_signatures
+from dynaalign_spark.operators.threshold import quantile_threshold
+
+CFG = PARITY
+
+
+@pytest.fixture(scope="module")
+def fixture_rows():
+    return make_images(n_clusters=15, seed=42)
+
+
+@pytest.fixture(scope="module")
+def images(spark, fixture_rows):
+    rows, _ = fixture_rows
+    return images_df(spark, rows).cache()
+
+
+def test_signatures_bitexact_vs_oracle(spark, images, fixture_rows):
+    """Spark pandas-UDF signatures == seeded numpy oracle, bit for bit
+    (the quirk-Q1-pinned twin of reference src/minHash.cpp:140-158)."""
+    rows, _ = fixture_rows
+    got = {
+        r["image_id"]: r["minhash"]
+        for r in add_signatures(images, CFG).collect()
+    }
+    expect = oracle.signatures([r["caption"] for r in rows], CFG.k, CFG.seeds)
+    for i, r in enumerate(rows):
+        assert got[r["image_id"]] == expect[i].astype(np.int64).tolist()
+
+
+def test_candidate_pairs_complete_at_r1(spark, images, fixture_rows):
+    """rows_per_band=1 banding must surface EVERY pair with sim > 0 — the
+    exact support of the reference's dense matrix (src/minHash.cpp:160-178)."""
+    rows, _ = fixture_rows
+    sig = add_signatures(images, CFG)
+    got = {
+        (r["a"], r["b"]): r["sim"] for r in candidate_pairs(sig, CFG).collect()
+    }
+    sim = oracle.similarity_mh([r["caption"] for r in rows], CFG.k, CFG.seeds)
+    ids = [r["image_id"] for r in rows]
+    n = len(ids)
+    expect = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if sim[i, j] > 0:
+                a, b = sorted((ids[i], ids[j]))
+                expect[(a, b)] = sim[i, j]
+    assert set(got) == set(expect)
+    for kk, v in expect.items():
+        assert abs(got[kk] - v) < 1e-12
+
+
+def test_quantile_threshold_parity(spark, images, fixture_rows):
+    """Distributed zero-counting quantile == R type-7 over the dense upper
+    triangle (quirk Q4)."""
+    rows, _ = fixture_rows
+    sig = add_signatures(images, CFG)
+    pairs = candidate_pairs(sig, CFG).cache()
+    sim = oracle.similarity_mh([r["caption"] for r in rows], CFG.k, CFG.seeds)
+    tri = oracle.upper_tri(sim)
+    for p in [0.5, 0.8, 0.95, 0.999]:
+        ours = quantile_threshold(pairs, len(rows), p)
+        ref = oracle.quantile_type7(tri, p)
+        assert abs(ours - ref) < 1e-9, p
+
+
+def test_connected_components_vs_union_find(spark):
+    edges = [
+        ("a", "b"), ("b", "c"), ("x", "y"),
+        ("p", "q"), ("q", "r"), ("r", "s"), ("s", "t"),  # chain
+        ("m", "n"), ("n", "m"),
+    ]
+    df = spark.createDataFrame(edges, "a string, b string")
+    got, rounds = connected_components(df)
+    got = {r["image_id"]: r["component"] for r in got.collect()}
+    nodes = sorted({u for e in edges for u in e})
+    expect = oracle.connected_components(nodes, edges)
+    assert got == expect
+    assert rounds <= 10
+
+
+def test_clusterbreak_recall_and_precision(spark, images, fixture_rows):
+    """THE gate: dup-pair recall >= 0.99 vs the seeded oracle clusterbreak."""
+    rows, truth = fixture_rows
+    res = clusterbreak_spark(images, CFG)
+    clusters = {r["image_id"]: r["cluster_id"] for r in res["clusters"].collect()}
+    filtered = {r["image_id"] for r in res["filtered"].collect()}
+    out, filt, _, _ = oracle.clusterbreak(
+        [r["caption"] for r in rows],
+        [r["image_id"] for r in rows],
+        CFG.k, CFG.seeds,
+        thresh_p=CFG.thresh_p, size_max=CFG.size_max, size_min=CFG.size_min,
+        resolution=CFG.louvain_resolution,
+    )
+    assert oracle.pair_recall(out, clusters) >= 0.99
+    assert oracle.pair_recall(clusters, out) >= 0.99
+    # partition completeness: every input row is clustered or filtered
+    all_ids = {r["image_id"] for r in rows}
+    assert set(clusters) | filtered == all_ids
+    assert set(clusters).isdisjoint(filtered)
+
+
+def test_clusterbreak_with_phash_fusion(spark, images, fixture_rows):
+    """Axis A: phash bit-shingle fusion still matches the oracle given the
+    same fusion config."""
+    rows, _ = fixture_rows
+    cfg = CFG.with_(use_phash_shingles=True)
+    res = clusterbreak_spark(images, cfg)
+    clusters = {r["image_id"]: r["cluster_id"] for r in res["clusters"].collect()}
+    out, _, _, _ = oracle.clusterbreak(
+        [r["caption"] for r in rows],
+        [r["image_id"] for r in rows],
+        cfg.k, cfg.seeds,
+        thresh_p=cfg.thresh_p, size_max=cfg.size_max, size_min=cfg.size_min,
+        resolution=cfg.louvain_resolution,
+        phash=[r["phash"] for r in rows],
+    )
+    assert oracle.pair_recall(out, clusters) >= 0.99
+
+
+def test_edge_case_shortcap_null_signatures(spark):
+    """Captions shorter than k -> NULL signature -> filtered with reason
+    (pinned resolution of quirk Q2)."""
+    rows = make_edge_case("shortcap", n=8, k=CFG.k)
+    df = images_df(spark, rows)
+    res = clusterbreak_spark(df, CFG)
+    assert res["clusters"].count() == 0
+    reasons = {r["reason"] for r in res["filtered"].collect()}
+    assert reasons == {"empty_shingle_set"}
+    assert res["filtered"].count() == 8
+
+
+def test_edge_case_allsame_hot_band(spark):
+    """All-identical captions: the hottest possible band. With a tiny
+    band_group_cap the chain pairing must still keep the clique one
+    component (no lost connectivity across the cap)."""
+    rows = make_edge_case("allsame", n=40)
+    df = images_df(spark, rows)
+    cfg = CFG.with_(band_group_cap=5, size_max=100, size_min=1)
+    res = clusterbreak_spark(df, cfg)
+    # connectivity survives the cap: CC puts all 40 in ONE component
+    comp = {r["image_id"]: r["component"] for r in res["components"].collect()}
+    assert len(comp) == 40 and len(set(comp.values())) == 1
+    # final assignment matches the oracle (quirk Q6: a uniform sim=1 clique
+    # with self-loops at gamma=1.05 shatters into singletons — both sides)
+    clusters = {r["image_id"]: r["cluster_id"] for r in res["clusters"].collect()}
+    out, _, _, _ = oracle.clusterbreak(
+        [r["caption"] for r in rows], [r["image_id"] for r in rows],
+        cfg.k, cfg.seeds, thresh_p=cfg.thresh_p,
+        size_max=cfg.size_max, size_min=cfg.size_min,
+    )
+    assert oracle.pair_recall(out, clusters) >= 0.99
+    assert oracle.pair_recall(clusters, out) >= 0.99
+    assert len(clusters) == 40
+
+
+def test_edge_case_allunique(spark):
+    """No dups at all: everything is a singleton -> filtered at size_min=3
+    (reference analog data/allunique.rda)."""
+    rows = make_edge_case("allunique", n=30)
+    df = images_df(spark, rows)
+    res = clusterbreak_spark(df, CFG)
+    out, filt, _, _ = oracle.clusterbreak(
+        [r["caption"] for r in rows], [r["image_id"] for r in rows],
+        CFG.k, CFG.seeds, thresh_p=CFG.thresh_p,
+        size_max=CFG.size_max, size_min=CFG.size_min,
+    )
+    clusters = {r["image_id"]: r["cluster_id"] for r in res["clusters"].collect()}
+    assert oracle.pair_recall(out, clusters) >= 0.99
+    assert oracle.pair_recall(clusters, out) >= 0.99
