@@ -1,0 +1,181 @@
+"""Benchmark harness (driver contract).
+
+Default: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+--scaling: the north-rule two-cluster-size evidence — runs the identical
+dedup job on the identical input at local[8] and local[32] in fresh
+subprocesses (one JVM each), reports images/sec at both and
+efficiency = tput(32) / (4 * tput(8)). Results land in BENCH.md.
+
+The dedup headline runs over a deterministic synthetic `images` table
+(BASELINE.json input_hint shape; fixtures.make_images, cached as parquet
+under bench_data/) — no external data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_data")
+IMAGES_N_CLUSTERS = 1200      # ~8.6k rows: the per-round bench table
+SCALING_N_ROWS = 1_600_000    # the two-cluster-size scaling table
+IMAGES_SEED = 42
+
+
+def images_parquet(spark, n_clusters: int = IMAGES_N_CLUSTERS) -> str:
+    """Generate-once parquet cache of the synthetic images table."""
+    path = os.path.join(CACHE_DIR, f"images_c{n_clusters}_s{IMAGES_SEED}.parquet")
+    if not os.path.exists(path):
+        from dynaalign_spark.fixtures import images_df, make_images
+
+        rows, _ = make_images(n_clusters=n_clusters, seed=IMAGES_SEED)
+        images_df(spark, rows).repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def scaling_parquet(spark) -> str:
+    """Generate-once large table (make_images_light) for --scaling."""
+    path = os.path.join(CACHE_DIR, f"images_dist_{SCALING_N_ROWS}_s{IMAGES_SEED}.parquet")
+    if not os.path.exists(path):
+        from dynaalign_spark.fixtures import generate_images_distributed
+
+        df = generate_images_distributed(spark, SCALING_N_ROWS, seed=IMAGES_SEED)
+        df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def bench_queries(spark):
+    """name -> (callable returning a DataFrame, row-count action is the timer)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from dynaalign_spark import annsearch, textops
+    from dynaalign_spark.config import SCALE
+    from dynaalign_spark.operators.clusterbreak import clusterbreak_spark
+
+    img_path = images_parquet(spark)
+
+    def dedup_images():
+        images = spark.read.parquet(img_path)
+        res = clusterbreak_spark(images, SCALE.with_(size_max=50, size_min=1))
+        return res["clusters"]
+
+    def minhash_signatures():
+        return entrymod.q_minhash_signatures(spark, SF_DIR)
+
+    def ann_topk():
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        queries = emb.where(F.col("vec_id") < 100).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        return annsearch.cosine_topk(emb, queries, k=10)
+
+    qs = {
+        "dedup_images": dedup_images,
+        "minhash_signatures": minhash_signatures,
+        # bench variant carries the hot-shingle cap (max_doc_freq): the
+        # synthetic corpus shares a ~30-word vocab, so uncapped co-shingle
+        # fan-out is quadratic in corpus size — the cap is the standard
+        # stop-shingle drop for the exact tier at scale.
+        "jaccard_pairs": lambda: textops.ngram_jaccard_pairs(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet"), 6,
+            threshold=0.5, max_doc_freq=500,
+        ),
+        "substring_pairs": lambda: entrymod.q_substring_pairs(spark, SF_DIR),
+        "ann_topk": ann_topk,
+        "agg_pricing": lambda: entrymod.q_agg_pricing(spark, SF_DIR),
+        "join_topk_customers": lambda: entrymod.q_join_topk_customers(spark, SF_DIR),
+        "window_user_latest": lambda: entrymod.q_window_user_latest(spark, SF_DIR),
+    }
+    return qs, img_path
+
+
+def run_bench() -> dict:
+    from dynaalign_spark.session import get_spark
+
+    spark = get_spark(app="dynaalign-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+    qs, img_path = bench_queries(spark)
+    n_images = spark.read.parquet(img_path).count()
+    times, total = {}, 0.0
+    for name, fn in qs.items():
+        t0 = time.time()
+        fn().count()
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        total += dt
+    spark.stop()
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
+    return {
+        "metric": "total_bench_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "images_per_sec": round(n_images / times["dedup_images"], 1),
+        "n_images": n_images,
+        "cpus": int(CPUS),
+    }
+
+
+def _worker_dedup(cpus: int) -> None:
+    """Subprocess body: one dedup job at local[cpus]; prints a JSON line."""
+    from dynaalign_spark.config import SCALE
+    from dynaalign_spark.operators.clusterbreak import clusterbreak_spark
+    from dynaalign_spark.session import get_spark
+
+    spark = get_spark(app=f"dedup-scale-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    path = scaling_parquet(spark)
+    images = spark.read.parquet(path)
+    n = images.count()
+    # warm the JVM + parquet cache so the timed run measures compute
+    images.select("image_id").count()
+    t0 = time.time()
+    res = clusterbreak_spark(images, SCALE.with_(size_max=50, size_min=1))
+    n_out = res["clusters"].count()
+    dt = time.time() - t0
+    print(json.dumps({"cpus": cpus, "rows": n, "out": n_out, "sec": round(dt, 3),
+                      "images_per_sec": round(n / dt, 1)}))
+    spark.stop()
+
+
+def run_scaling() -> dict:
+    """local[8] vs local[32] on identical input -> scaling efficiency."""
+    out = {}
+    for cpus in (8, 32):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
+            capture_output=True, text=True, timeout=1800,
+        )
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+        out[cpus] = json.loads(line)
+    eff = out[32]["images_per_sec"] / (4.0 * out[8]["images_per_sec"])
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n8": out[8],
+        "n32": out[32],
+    }
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--worker":
+        _worker_dedup(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

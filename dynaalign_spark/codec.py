@@ -75,6 +75,10 @@ def to_gray(pix: np.ndarray) -> np.ndarray:
 def area_resize(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Deterministic area-average resize via bucketed means (no scipy)."""
     h, w = gray.shape
+    if h % out_h == 0 and w % out_w == 0:
+        # fast path: exact block mean via reshape (identical to the integral-
+        # image result when buckets are uniform)
+        return gray.reshape(out_h, h // out_h, out_w, w // out_w).mean(axis=(1, 3))
     ys = (np.arange(out_h + 1) * h // out_h).astype(np.int64)
     xs = (np.arange(out_w + 1) * w // out_w).astype(np.int64)
     integ = np.zeros((h + 1, w + 1), np.float64)

@@ -71,6 +71,12 @@ class DedupConfig:
     # threshold estimation
     exact_threshold_max_rows: int = 5000   # below this, exact all-pairs quantile
     threshold_sample_pairs: int = 2_000_000
+    # absolute edge-similarity floor, composed as max(quantile, min_edge_sim).
+    # 0.0 = pure reference semantics (quantile only). At web scale the corpus
+    # quantile of a mostly-zero distribution is 0, which keeps every weak
+    # accidental band collision and welds the corpus into one hairball; the
+    # floor cuts noise-level agreements (j ~ 1-2/n_hash) before CC.
+    min_edge_sim: float = 0.0
 
     def __post_init__(self):
         if not self.seeds:
@@ -98,5 +104,5 @@ class DedupConfig:
 # The parity config used by tests: exact reference semantics, r=1 banding.
 PARITY = DedupConfig()
 
-# The web-scale config used by bench: r=2 banding + skew caps.
-SCALE = DedupConfig().with_(rows_per_band=2, band_group_cap=500)
+# The web-scale config used by bench: r=2 banding + skew caps + noise floor.
+SCALE = DedupConfig().with_(rows_per_band=2, band_group_cap=64, min_edge_sim=0.3)

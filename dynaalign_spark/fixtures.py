@@ -125,6 +125,109 @@ def make_images(
     return rows, truth
 
 
+def make_images_light(
+    n_rows: int, seed: int = 42, pixel_pool: int = 64, img_hw: tuple[int, int] = (32, 32),
+    singleton_frac: float = 0.3, max_members: int = 12,
+) -> list[dict]:
+    """Large-scale fixture: same schema/caption structure as ``make_images``
+    but pixel buffers come from a small pre-generated pool (encoded once), so
+    generation is caption-bound and scales to 10^5-10^6 rows for the
+    two-cluster-size scaling benchmark. Caption/phash distributions match the
+    primary fixture; `bytes` stays schema-faithful but is not unique per row."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    vocab = _vocab(rng)
+    h, w = img_hw
+    pool = []
+    for _ in range(pixel_pool):
+        pix = _base_image(rng, h, w)
+        pool.append((bytearray(encode_ppm(pix)), phash64(pix)))
+    rows: list[dict] = []
+    rid = 0
+
+    def emit(words):
+        nonlocal rid
+        data, ph = pool[rid % pixel_pool]
+        rows.append(
+            dict(
+                image_id=f"img{rid:08d}",
+                bytes=data,
+                w=w,
+                h=h,
+                fmt="ppm",
+                caption=" ".join(words),
+                phash=ph,
+            )
+        )
+        rid += 1
+
+    n_cluster_rows = int(n_rows * (1 - singleton_frac))
+    while rid < n_cluster_rows:
+        m = 2 + min(int(rng.zipf(1.6)), max_members - 2)
+        base_words = [vocab[int(i)] for i in rng.integers(0, len(vocab), int(rng.integers(8, 14)))]
+        emit(base_words)
+        for _ in range(min(m - 1, n_cluster_rows - rid)):
+            emit(_perturb_caption(rng, base_words, vocab))
+    while rid < n_rows:
+        emit([vocab[int(i)] for i in rng.integers(0, len(vocab), int(rng.integers(8, 14)))])
+    return rows
+
+
+def generate_images_distributed(
+    spark, n_rows: int, seed: int = 42, block_size: int = 20_000,
+    img_hw: tuple[int, int] = (16, 16), pixel_pool: int = 32,
+    singleton_frac: float = 0.3, max_members: int = 12,
+):
+    """Distributed deterministic fixture generation: mapInPandas over seed
+    blocks (one PCG64 stream per block, independent of partitioning), so a
+    10^6-row corpus generates in parallel — the pattern a real 10^12-scale
+    synthetic load would use. Planted clusters never span blocks. Returns a
+    DataFrame in the images-table shape."""
+    import pandas as pd
+
+    n_blocks = (n_rows + block_size - 1) // block_size
+    # encoded pixel pool generated once on the driver, captured by closure
+    prng = np.random.Generator(np.random.PCG64(seed))
+    h, w = img_hw
+    pool = []
+    for _ in range(pixel_pool):
+        pix = _base_image(prng, h, w)
+        pool.append((bytes(encode_ppm(pix)), phash64(pix)))
+    blocks = spark.range(n_blocks).toDF("block_id")
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            for block_id in pdf["block_id"].tolist():
+                rng = np.random.Generator(np.random.PCG64(seed * 1_000_003 + block_id))
+                vocab = _vocab(rng, 4000)
+                start = block_id * block_size
+                count = min(block_size, n_rows - start)
+                ids, bts, caps, phs = [], [], [], []
+
+                def emit(words):
+                    rid = start + len(ids)
+                    data, ph = pool[rid % pixel_pool]
+                    ids.append(f"img{rid:09d}")
+                    bts.append(data)
+                    caps.append(" ".join(words))
+                    phs.append(ph)
+
+                n_cluster_rows = int(count * (1 - singleton_frac))
+                while len(ids) < n_cluster_rows:
+                    m = 2 + min(int(rng.zipf(1.6)), max_members - 2)
+                    base = [vocab[int(i)] for i in rng.integers(0, len(vocab), int(rng.integers(8, 14)))]
+                    emit(base)
+                    for _ in range(min(m - 1, n_cluster_rows - len(ids))):
+                        emit(_perturb_caption(rng, base, vocab))
+                while len(ids) < count:
+                    emit([vocab[int(i)] for i in rng.integers(0, len(vocab), int(rng.integers(8, 14)))])
+                yield pd.DataFrame(
+                    dict(image_id=ids, bytes=bts, w=w, h=h, fmt="ppm",
+                         caption=caps, phash=phs)
+                )
+
+    return blocks.repartition(min(n_blocks, 256)).mapInPandas(gen, IMAGES_SCHEMA)
+
+
 def make_edge_case(kind: str, n: int = 30, seed: int = 7, k: int = 4) -> list[dict]:
     """Edge-case fixtures from FIXTURES.md §1.2 (same schema)."""
     rng = np.random.Generator(np.random.PCG64(seed))

@@ -41,7 +41,7 @@ from ..oracle import quantile_type7
 from .components import connected_components
 from .lsh import candidate_pairs
 from .signatures import add_signatures
-from .threshold import quantile_threshold, threshold_edges
+from .threshold import grouped_quantile_threshold, quantile_threshold, threshold_edges
 
 ASSIGN_SCHEMA = "image_id string, cluster_id string, status string"
 
@@ -114,39 +114,40 @@ def _local_break(ids, sigs: np.ndarray, first_threshold: float, cfg: DedupConfig
     return out
 
 
-def _refine_factory(cfg: DedupConfig, global_threshold: float, local_max: int,
+def _refine_factory(cfg: DedupConfig, global_threshold: float,
                     global_m2: float | None = None):
+    """Per-group exact reference recursion (applyInPandas). Groups at lvl=1
+    (original CC components) inherit the *global* threshold and Louvain
+    null-model mass; groups at lvl>1 (products of the distributed
+    re-threshold rounds) start from a fresh local quantile — mirroring the
+    reference, whose recursion recomputes sim + quantile per subset
+    (R/clusterbreak.R:246-254)."""
+
     def refine(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("image_id").reset_index(drop=True)
-        comp = str(pdf["component"].iloc[0])
+        comp = str(pdf["group_id"].iloc[0])
+        lvl = int(pdf["lvl"].iloc[0])
         ids = pdf["image_id"].tolist()
-        # m2 consistency: global_m2 was summed over the *capped* global edge
-        # set; the local recursion recomputes the *full* within-component
-        # matrix. Swap this component's capped weight for its full weight so
-        # hot-band chain capping can't starve the null model (an
-        # all-identical clique would otherwise shatter into singletons).
-        w_capped = float(pdf["w_capped"].iloc[0]) if "w_capped" in pdf else None
-        if len(ids) > local_max:
-            # scale guard: component too large for in-memory recursion —
-            # emit unbroken with a flagged status (distributed re-threshold
-            # recursion is the planned fallback; see module docstring).
-            return pd.DataFrame(
-                {
-                    "image_id": ids,
-                    "cluster_id": [f"{comp}/unbroken"] * len(ids),
-                    "status": ["emitted_unbroken"] * len(ids),
-                }
-            )
         sigs = np.array(pdf["minhash"].tolist(), dtype=np.int64).astype(np.uint32)
-        m2 = global_m2
-        if m2 is not None and w_capped is not None:
-            cut = max(global_threshold, 1e-300)
-            w_full = 0.0
-            for i in range(len(ids) - 1):
-                row = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-                w_full += float(row[row >= cut].sum())
-            m2 = m2 - 2.0 * w_capped + 2.0 * w_full
-        res = _local_break(ids, sigs, global_threshold, cfg, first_m2=m2)
+        if lvl == 1:
+            # m2 consistency: global_m2 was summed over the *capped* global
+            # edge set; the local recursion recomputes the *full*
+            # within-component matrix. Swap this component's capped weight
+            # for its full weight so hot-band chain capping can't starve the
+            # null model (an all-identical clique would otherwise shatter
+            # into singletons for the wrong reason).
+            w_capped = float(pdf["w_capped"].iloc[0]) if "w_capped" in pdf else None
+            m2 = global_m2
+            if m2 is not None and w_capped is not None:
+                cut = max(global_threshold, 1e-300)
+                w_full = 0.0
+                for i in range(len(ids) - 1):
+                    row = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+                    w_full += float(row[row >= cut].sum())
+                m2 = m2 - 2.0 * w_capped + 2.0 * w_full
+            res = _local_break(ids, sigs, global_threshold, cfg, first_m2=m2)
+        else:
+            res = _local_break(ids, sigs, None, cfg, first_m2=None)
         return pd.DataFrame(
             {
                 "image_id": [r[0] for r in res],
@@ -158,18 +159,163 @@ def _refine_factory(cfg: DedupConfig, global_threshold: float, local_max: int,
     return refine
 
 
+def _distributed_break(
+    prs: DataFrame, groups: DataFrame, cfg: DedupConfig, local_max: int,
+    max_rounds: int,
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    """Distributed re-threshold recursion for groups too large for the
+    in-memory Louvain recursion.
+
+    Per round, for every oversized group: fresh per-group type-7 quantile
+    over the group's full sim distribution (grouped_quantile_threshold — the
+    exact semantic of the reference's per-subset re-threshold,
+    R/clusterbreak.R:246-254), filter edges, split into connected
+    components. Louvain refinement happens later, locally, once a group
+    fits; CC here only *partitions* oversized groups (Louvain communities
+    never span disconnected pieces). Groups that reach a fixpoint without
+    shrinking below local_max are emitted with status 'emitted_unbroken'.
+
+    groups: (group_id, image_id, lvl). Returns (small_groups, solo_rows,
+    unbroken_rows, rounds_used); small_groups has the same schema as groups.
+    """
+    small_parts = []
+    solo_parts = []
+    unbroken_parts = []
+    rounds = 0
+    active = groups.withColumn("esc", F.lit(0))
+    for rounds in range(1, max_rounds + 1):
+        sizes = active.groupBy("group_id").agg(
+            F.count("*").alias("sz"), F.max("esc").alias("esc")
+        )
+        # localCheckpoint: parts outlive the per-round persists below; without
+        # cutting lineage every later action recomputes all earlier rounds
+        # (exponential). At production scale these are the parquet stage
+        # checkpoints (resume points).
+        small_parts.append(
+            active.join(sizes.where(F.col("sz") <= local_max).select("group_id"), "group_id")
+            .select("group_id", "image_id", "lvl")
+            .localCheckpoint()
+        )
+        big_sizes = sizes.where(F.col("sz") > local_max).persist()
+        if big_sizes.isEmpty():
+            big_sizes.unpersist()
+            break
+        member = active.drop("esc").join(big_sizes.select("group_id", "esc"), "group_id").persist()
+
+        ga = member.select(F.col("image_id").alias("a"), "group_id", "lvl")
+        gb = member.select(F.col("image_id").alias("b"), F.col("group_id").alias("gb"))
+        pairs_g = (
+            prs.join(ga, "a")
+            .join(gb, "b")
+            .where(F.col("group_id") == F.col("gb"))
+            .select("group_id", "a", "b", "sim")
+        ).persist()
+        # normal groups: type-7 quantile over the FULL (zero-padded) subset
+        # distribution; escalated groups (stuck at a zero threshold last
+        # round): quantile over nonzero sims — the deep-recursion limit
+        thr_parts = []
+        for esc_val, inc0 in ((0, True), (1, False)):
+            sz_e = big_sizes.where(F.col("esc") == esc_val).select("group_id", "sz")
+            if not sz_e.isEmpty():
+                pg_e = pairs_g.join(sz_e.select("group_id"), "group_id")
+                thr_parts.append(
+                    grouped_quantile_threshold(pg_e, sz_e, cfg.thresh_p, include_zeros=inc0)
+                )
+        thr_g = thr_parts[0]
+        for t in thr_parts[1:]:
+            thr_g = thr_g.unionAll(t)
+        edges_g = (
+            pairs_g.join(thr_g, "group_id")
+            .where(F.col("sim") >= F.col("threshold"))
+            .select("group_id", "a", "b")
+        )
+        subcomp, _ = connected_components(edges_g)
+        relabeled = (
+            member.join(subcomp, "image_id", "left")
+            .withColumn(
+                "new_group",
+                F.when(
+                    F.col("component").isNotNull(),
+                    F.concat_ws("/", "group_id", "component"),
+                ),
+            )
+        )
+        # nodes that lost every edge at this level = singleton communities
+        solo_parts.append(
+            relabeled.where(F.col("component").isNull())
+            .select("image_id", "lvl")
+            .localCheckpoint()
+        )
+        nxt = relabeled.where(F.col("component").isNotNull()).select(
+            F.col("new_group").alias("group_id"), "image_id",
+            (F.col("lvl") + 1).alias("lvl"), F.col("esc").alias("parent_esc"),
+            F.col("group_id").alias("pg"),
+        )
+        # fixpoint: a child identical in size to its parent did not break.
+        # First time: retry the parent with the escalated (nonzero) quantile.
+        # Second time (already escalated): emit unbroken.
+        child_sz = nxt.groupBy("group_id").agg(F.count("*").alias("csz"))
+        psz = big_sizes.select(F.col("group_id").alias("pg"), F.col("sz").alias("psz"))
+        nxt2 = nxt.join(psz, "pg").join(child_sz, "group_id")
+        unbroken_parts.append(
+            nxt2.where((F.col("csz") == F.col("psz")) & (F.col("parent_esc") == 1))
+            .select(F.col("pg").alias("group_id"), "image_id")
+            .localCheckpoint()
+        )
+        retry = (
+            nxt2.where((F.col("csz") == F.col("psz")) & (F.col("parent_esc") == 0))
+            .select(F.col("pg").alias("group_id"), "image_id",
+                    (F.col("lvl") - 1).alias("lvl"), F.lit(1).alias("esc"))
+        )
+        active = (
+            nxt2.where(F.col("csz") < F.col("psz"))
+            .select("group_id", "image_id", "lvl", F.lit(0).alias("esc"))
+            .unionAll(retry)
+            .localCheckpoint()  # eager: materialize before parents unpersist
+        )
+        member.unpersist()
+        pairs_g.unpersist()
+        big_sizes.unpersist()
+        if active.isEmpty():
+            break
+    else:
+        # max_rounds exhausted: emit what's left unbroken
+        unbroken_parts.append(active.select("group_id", "image_id"))
+        active = active.limit(0)
+    # anything still active when the loop broke via isEmpty is gone; collect outputs
+    small = small_parts[0]
+    for p in small_parts[1:]:
+        small = small.unionAll(p)
+    schema_solo = "image_id string, lvl int"
+    spark = prs.sparkSession
+    solo = (
+        solo_parts[0] if solo_parts else spark.createDataFrame([], schema_solo)
+    )
+    for p in solo_parts[1:]:
+        solo = solo.unionAll(p)
+    unb = (
+        unbroken_parts[0]
+        if unbroken_parts
+        else spark.createDataFrame([], "group_id string, image_id string")
+    )
+    for p in unbroken_parts[1:]:
+        unb = unb.unionAll(p)
+    return small, solo, unb, rounds
+
+
 def clusterbreak_spark(
     images: DataFrame,
     cfg: DedupConfig,
     signatures: DataFrame | None = None,
     pairs: DataFrame | None = None,
-    local_max: int = 200_000,
+    local_max: int = 1500,
+    max_distributed_rounds: int = 12,
 ) -> dict:
     """Full pipeline -> dict with clusters / filtered / metrics DataFrames.
 
     Returns keys: signatures, pairs, threshold, edges, components,
     assignments, clusters (image_id, cluster_id), filtered (image_id,
-    reason), cc_rounds.
+    reason), cc_rounds, distributed_rounds.
     """
     sig = signatures if signatures is not None else add_signatures(images, cfg)
     sig = sig.persist()
@@ -181,33 +327,55 @@ def clusterbreak_spark(
 
     prs = pairs if pairs is not None else candidate_pairs(sig, cfg)
     prs = prs.persist()
-    thr = quantile_threshold(prs, n_valid, cfg.thresh_p)
+    thr = max(quantile_threshold(prs, n_valid, cfg.thresh_p), cfg.min_edge_sim)
     edges = threshold_edges(prs, thr)
 
     comp, cc_rounds = connected_components(edges)
-    grouped = valid.join(comp, "image_id")
+    comp = comp.persist()
 
     # global Louvain mass: 2*(sum of kept edge weights) + the sim=1 self-loop
     # of every row in the reference's adjacency matrix (quirk Q6)
     wsum = edges.agg(F.sum("sim")).first()[0] or 0.0
     global_m2 = 2.0 * float(wsum) + 2.0 * float(n_valid)
 
-    # per-component capped edge weight, for the m2 correction inside refine
+    groups0 = comp.select(
+        F.col("component").alias("group_id"), "image_id", F.lit(1).alias("lvl")
+    )
+    small, solo_distr, unbroken, d_rounds = _distributed_break(
+        prs, groups0, cfg, local_max, max_distributed_rounds
+    )
+
+    # per-component capped edge weight, for the lvl-1 m2 correction
     comp_w = (
         edges.join(comp.withColumnRenamed("image_id", "a"), "a")
         .groupBy("component")
         .agg(F.sum("sim").alias("w_capped"))
+    ).withColumnRenamed("component", "group_id")
+    grouped = (
+        small.join(valid, "image_id")
+        .join(comp_w, "group_id", "left")
+        .fillna({"w_capped": 0.0})
     )
-    grouped = grouped.join(comp_w, "component", "left").fillna({"w_capped": 0.0})
 
-    refine = _refine_factory(cfg, thr, local_max, global_m2=global_m2)
-    assigned = grouped.groupBy("component").applyInPandas(refine, ASSIGN_SCHEMA)
+    refine = _refine_factory(cfg, thr, global_m2=global_m2)
+    assigned = grouped.groupBy("group_id").applyInPandas(refine, ASSIGN_SCHEMA)
 
     clusters = assigned.where(F.col("status").startswith("emitted")).select(
         "image_id", "cluster_id"
     )
-    # nodes with a signature but no thresholded edge: singleton communities
-    singles = valid.join(comp, "image_id", "left_anti").select("image_id")
+    clusters = clusters.unionAll(
+        unbroken.select(
+            "image_id", F.concat(F.col("group_id"), F.lit("/unbroken")).alias("cluster_id")
+        )
+    )
+
+    # singleton communities: no thresholded edge at all (never entered a
+    # component), or stripped of edges during a distributed round
+    singles = (
+        valid.join(comp, "image_id", "left_anti")
+        .select("image_id")
+        .unionAll(solo_distr.select("image_id"))
+    )
     if cfg.size_min <= 1:
         clusters = clusters.unionAll(
             singles.select("image_id", F.concat(F.lit("solo/"), "image_id").alias("cluster_id"))
@@ -235,5 +403,6 @@ def clusterbreak_spark(
         "clusters": clusters,
         "filtered": filtered,
         "cc_rounds": cc_rounds,
+        "distributed_rounds": d_rounds,
         "n_valid": n_valid,
     }

@@ -54,6 +54,71 @@ def quantile_threshold(pairs: DataFrame, n_valid: int, p: float) -> float:
     return lo_val + frac * (hi_val - lo_val)
 
 
+def grouped_quantile_threshold(
+    pairs_g: DataFrame, sizes: DataFrame, p: float, include_zeros: bool = True
+) -> DataFrame:
+    """Per-group type-7 quantile of each group's FULL upper-triangle sim
+    distribution — fully relational (no driver loop over groups).
+
+    pairs_g: (group_id, a, b, sim) candidate pairs within each group
+             (sim > 0; absent pairs are exact zeros, r=1 banding).
+    sizes:   (group_id, sz) member counts.
+    Returns (group_id, threshold).
+
+    Same zero-counting trick as ``quantile_threshold`` but the two order
+    statistics are fetched with a row_number window per group instead of
+    ``percentile`` (whose p argument must be foldable): rank r in the full
+    distribution maps to nonzero-rank r - zeros.
+    """
+    from pyspark.sql import Window
+
+    total_col = (
+        (F.col("sz") * (F.col("sz") - 1) / 2).cast("long")
+        if include_zeros
+        # escalated mode: quantile over the NONZERO sims only — the limit the
+        # reference's per-subset re-threshold converges to as zero pairs
+        # vanish from shrinking subsets (used to break stuck hairballs)
+        else F.col("m").cast("long")
+    )
+    stats = (
+        pairs_g.groupBy("group_id").agg(F.count("*").alias("m"))
+        .join(sizes, "group_id", "right")
+        .fillna({"m": 0})
+        .withColumn("total", total_col)
+        .withColumn("h", (F.col("total") - 1) * F.lit(p))
+        .withColumn("lo", F.floor("h").cast("long"))
+        .withColumn("frac", F.col("h") - F.col("lo"))
+        .withColumn("hi", F.least(F.col("lo") + 1, F.col("total") - 1))
+        .withColumn("zeros", F.col("total") - F.col("m"))
+    )
+    w = Window.partitionBy("group_id").orderBy("sim", "a", "b")
+    ranked = pairs_g.withColumn("rn", F.row_number().over(w) - 1)
+    st = stats.select("group_id", "lo", "hi", "frac", "zeros")
+    lo_val = (
+        ranked.join(st, "group_id")
+        .where(F.col("rn") == F.col("lo") - F.col("zeros"))
+        .select("group_id", F.col("sim").alias("lo_val"))
+    )
+    hi_val = (
+        ranked.join(st, "group_id")
+        .where(F.col("rn") == F.col("hi") - F.col("zeros"))
+        .select("group_id", F.col("sim").alias("hi_val"))
+    )
+    return (
+        stats.join(lo_val, "group_id", "left")
+        .join(hi_val, "group_id", "left")
+        # rank below the zero block -> order statistic is an exact 0.0
+        .withColumn("lo_v", F.when(F.col("lo") < F.col("zeros"), 0.0).otherwise(F.coalesce("lo_val", F.lit(0.0))))
+        .withColumn("hi_v", F.when(F.col("hi") < F.col("zeros"), 0.0).otherwise(F.coalesce("hi_val", F.lit(0.0))))
+        .select(
+            "group_id",
+            F.when(F.col("total") <= 0, 0.0)
+            .otherwise(F.col("lo_v") + F.col("frac") * (F.col("hi_v") - F.col("lo_v")))
+            .alias("threshold"),
+        )
+    )
+
+
 def threshold_edges(pairs: DataFrame, threshold: float) -> DataFrame:
     """Edges of the thresholded similarity graph.
 

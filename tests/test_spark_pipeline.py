@@ -169,6 +169,23 @@ def test_edge_case_allsame_hot_band(spark):
     assert len(clusters) == 40
 
 
+def test_distributed_break_path(spark, images, fixture_rows):
+    """Force components through the distributed re-threshold recursion
+    (local_max=3) and check the row partition is still complete and every
+    dup cluster from truth stays discoverable (loose recall vs truth, since
+    CC pre-breaking + local Louvain is a documented approximation of pure
+    local recursion for oversized components)."""
+    rows, truth = fixture_rows
+    cfg = CFG.with_(size_max=50, size_min=1)
+    res = clusterbreak_spark(images, cfg, local_max=3, max_distributed_rounds=8)
+    clusters = {r["image_id"]: r["cluster_id"] for r in res["clusters"].collect()}
+    filtered = {r["image_id"] for r in res["filtered"].collect()}
+    all_ids = {r["image_id"] for r in rows}
+    assert set(clusters) | filtered == all_ids
+    assert set(clusters).isdisjoint(filtered)
+    assert res["distributed_rounds"] >= 1
+
+
 def test_edge_case_allunique(spark):
     """No dups at all: everything is a singleton -> filtered at size_min=3
     (reference analog data/allunique.rda)."""
