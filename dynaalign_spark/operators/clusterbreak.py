@@ -123,7 +123,7 @@ def _refine_factory(cfg: DedupConfig, global_threshold: float,
     reference, whose recursion recomputes sim + quantile per subset
     (R/clusterbreak.R:246-254)."""
 
-    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+    def refine_one(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("image_id").reset_index(drop=True)
         comp = str(pdf["group_id"].iloc[0])
         lvl = int(pdf["lvl"].iloc[0])
@@ -156,7 +156,16 @@ def _refine_factory(cfg: DedupConfig, global_threshold: float,
             }
         )
 
-    return refine
+    def refine_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one Python invocation handles a whole salt-bucket of components —
+        # per-group applyInPandas overhead (~ms each) would serialize on
+        # 10^5 tiny components at web scale
+        outs = [refine_one(g) for _, g in pdf.groupby("group_id", sort=True)]
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+            {"image_id": [], "cluster_id": [], "status": []}
+        )
+
+    return refine_bucket
 
 
 def _distributed_break(
@@ -358,7 +367,14 @@ def clusterbreak_spark(
     )
 
     refine = _refine_factory(cfg, thr, global_m2=global_m2)
-    assigned = grouped.groupBy("group_id").applyInPandas(refine, ASSIGN_SCHEMA)
+    n_buckets = max(cfg.shuffle_partitions * 8, 64)
+    assigned = (
+        grouped.withColumn(
+            "bucket", F.pmod(F.xxhash64("group_id"), F.lit(n_buckets))
+        )
+        .groupBy("bucket")
+        .applyInPandas(refine, ASSIGN_SCHEMA)
+    )
 
     clusters = assigned.where(F.col("status").startswith("emitted")).select(
         "image_id", "cluster_id"

@@ -1,0 +1,64 @@
+"""Cluster consensus / representatives — the Spark twin of the reference's
+``clusterconsensus`` (R/clusterbreak.R:309-320): per cluster, a consensus
+caption and an exemplar member.
+
+The reference pipes each cluster through DECIPHER::AlignSeqs (external MSA
+black box, DESCRIPTION:22-23) then ConsensusSequence; we implement the
+alignment-free variant pinned in SURVEY.md §2 #25: per-position majority
+vote at the median caption length (ties -> lexicographically smallest char),
+plus a medoid exemplar = the member maximizing total signature agreement to
+its cluster (deterministic tie-break by image_id).
+
+One ``groupBy(cluster_id).applyInPandas`` stage — clusters are bounded by
+size_max, so each group trivially fits a task (the reference holds the same
+in-memory-cluster assumption)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..oracle import cluster_consensus
+
+CONSENSUS_SCHEMA = (
+    "cluster_id string, consensus_caption string, exemplar_image_id string, size long"
+)
+
+
+def _consensus_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("image_id").reset_index(drop=True)
+    caps = pdf["caption"].tolist()
+    cons = cluster_consensus(caps)
+    if "minhash" in pdf.columns and pdf["minhash"].notna().all() and len(pdf) > 1:
+        sigs = np.array(pdf["minhash"].tolist(), dtype=np.int64)
+        agree = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+        np.fill_diagonal(agree, 0.0)
+        scores = agree.sum(axis=1)
+        best = int(np.argmax(scores))  # argmax takes first (smallest id) on ties
+    else:
+        best = 0
+    return pd.DataFrame(
+        {
+            "cluster_id": [str(pdf["cluster_id"].iloc[0])],
+            "consensus_caption": [cons],
+            "exemplar_image_id": [pdf["image_id"].iloc[best]],
+            "size": [len(pdf)],
+        }
+    )
+
+
+def cluster_representatives(
+    clusters: DataFrame, images: DataFrame, signatures: DataFrame | None = None
+) -> DataFrame:
+    """clusters (image_id, cluster_id) + images -> one row per cluster:
+    (cluster_id, consensus_caption, exemplar_image_id, size)."""
+    joined = clusters.join(images.select("image_id", "caption"), "image_id")
+    if signatures is not None:
+        joined = joined.join(
+            signatures.select("image_id", "minhash"), "image_id", "left"
+        )
+    return joined.groupBy("cluster_id").applyInPandas(
+        _consensus_group, CONSENSUS_SCHEMA
+    )

@@ -1,0 +1,208 @@
+"""SimHash pixel tier (north-rule axis B; SURVEY.md §2.4).
+
+The signature-agreement machinery of the reference (src/minHash.cpp:160-178)
+transplanted to Hamming agreement over a 64-bit hyperplane-sign fingerprint
+of decoded pixels:
+
+1. ``add_simhash``      — vectorized pandas UDF: decode `bytes` per `fmt`
+   (codec.decode_image; real-world codecs are stubbed per sandbox note),
+   luma-grid features, sign of seeded gaussian projections packed to int64.
+   Narrow map stage; `bytes` is read ONLY here (column pruning keeps it out
+   of the caption tier's scan).
+2. ``simhash_candidates`` — Hamming-ball LSH: split the 64 bits into
+   ``max_hamming + 1`` chunks; by pigeonhole, any pair within Hamming
+   distance ``max_hamming`` agrees exactly on at least one chunk, so the
+   chunk equi-join is a COMPLETE candidate generator (no recall loss).
+   Verification is a pure-JVM ``bit_count(a ^ b)`` filter.
+3. ``psnr_verify_pairs`` — the per-row invariant tier: decode both images of
+   each candidate pair and keep pairs with PSNR >= cfg.psnr_threshold_db
+   (BASELINE.json input_hint: decoded-pixel allclose / PSNR >= 40 dB).
+   Runs only on the (tiny) candidate set — two id-joins fetch bytes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..codec import decode_image, psnr, simhash_features
+from ..config import DedupConfig
+from ..hashing import simhash_bits
+
+
+def simhash_udf(cfg: DedupConfig, grid: int = 16):
+    seed = cfg.simhash_seed
+    bits = cfg.simhash_bits
+
+    @F.pandas_udf(LongType())
+    def _sh(data: pd.Series, fmt: pd.Series) -> pd.Series:
+        feats = np.zeros((len(data), grid * grid))
+        ok = np.ones(len(data), dtype=bool)
+        for i, (b, f) in enumerate(zip(data, fmt)):
+            try:
+                feats[i] = simhash_features(decode_image(bytes(b), f), grid=grid)
+            except Exception:
+                ok[i] = False
+        out = simhash_bits(feats, seed=seed, bits=bits).astype(np.int64)
+        return pd.Series([int(v) if k else None for v, k in zip(out, ok)])
+
+    return _sh
+
+
+def add_simhash(images: DataFrame, cfg: DedupConfig, grid: int = 16) -> DataFrame:
+    """-> (image_id, simhash long). Decode errors -> NULL (counted upstream)."""
+    udf = simhash_udf(cfg, grid)
+    return images.select(
+        "image_id", udf(F.col("bytes"), F.col("fmt")).alias("simhash")
+    )
+
+
+def simhash_candidates(sh: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """-> (a, b, hamming) pairs within cfg.simhash_max_hamming — complete by
+    the pigeonhole chunk construction; hamming verified JVM-side."""
+    d = cfg.simhash_max_hamming
+    bits = cfg.simhash_bits
+    n_chunks = d + 1
+    base = bits // n_chunks
+    rem = bits % n_chunks
+    # chunk i covers [off, off+len_i); first `rem` chunks get an extra bit
+    offs, lens, off = [], [], 0
+    for i in range(n_chunks):
+        ln = base + (1 if i < rem else 0)
+        offs.append(off)
+        lens.append(ln)
+        off += ln
+    sh = sh.where(F.col("simhash").isNotNull())
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_id"),
+                F.shiftright(F.col("simhash"), offs[i])
+                .bitwiseAND(F.lit((1 << lens[i]) - 1))
+                .alias("chunk_val"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    bands = sh.select(
+        "image_id", "simhash", F.explode(chunks).alias("c")
+    ).select("image_id", "simhash", "c.chunk_id", "c.chunk_val")
+    groups = (
+        bands.groupBy("chunk_id", "chunk_val")
+        .agg(F.sort_array(F.collect_list(F.struct("image_id", "simhash"))).alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    pair_expr = (
+        "flatten(transform(ms, (x, i) -> "
+        "transform(slice(ms, i + 2, size(ms) - i - 1), y -> "
+        "struct(x.image_id as a, y.image_id as b, x.simhash as sa, y.simhash as sb))))"
+    )
+    return (
+        groups.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.a", "p.b", F.bit_count(F.expr("p.sa ^ p.sb")).alias("hamming"))
+        .where(F.col("hamming") <= d)
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def psnr_verify_pairs(
+    pairs: DataFrame, images: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """(a, b, ...) + images -> pairs passing PSNR >= cfg.psnr_threshold_db,
+    with the measured value. Mixed sizes compare as non-dup (psnr = -inf)."""
+    thr = float(cfg.psnr_threshold_db)
+    img_a = images.select(
+        F.col("image_id").alias("a"), F.col("bytes").alias("bytes_a"),
+        F.col("fmt").alias("fmt_a"),
+    )
+    img_b = images.select(
+        F.col("image_id").alias("b"), F.col("bytes").alias("bytes_b"),
+        F.col("fmt").alias("fmt_b"),
+    )
+    joined = pairs.join(img_a, "a").join(img_b, "b")
+
+    @F.pandas_udf("double")
+    def _psnr(ba: pd.Series, fa: pd.Series, bb: pd.Series, fb: pd.Series) -> pd.Series:
+        out = []
+        for xa, xfa, xb, xfb in zip(ba, fa, bb, fb):
+            try:
+                pa = decode_image(bytes(xa), xfa)
+                pb = decode_image(bytes(xb), xfb)
+                out.append(psnr(pa, pb) if pa.shape == pb.shape else float("-inf"))
+            except Exception:
+                out.append(float("-inf"))
+        return pd.Series(out)
+
+    return (
+        joined.withColumn(
+            "psnr_db", _psnr(F.col("bytes_a"), F.col("fmt_a"), F.col("bytes_b"), F.col("fmt_b"))
+        )
+        .where(F.col("psnr_db") >= thr)
+        .select(*pairs.columns, "psnr_db")
+    )
+
+
+def row_invariant_violations(
+    source: DataFrame, surviving: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """The per-row invariant from BASELINE.json input_hint: every surviving
+    row must carry its source caption unchanged and pixels whose decode is
+    allclose to the source decode (PSNR >= threshold for lossy fmt; exact for
+    lossless). Returns the violating rows (empty == invariant holds).
+
+    Joins on image_id; a surviving row missing from source is a violation.
+    """
+    thr = float(cfg.psnr_threshold_db)
+    s = source.select(
+        "image_id", F.col("caption").alias("src_caption"),
+        F.col("bytes").alias("src_bytes"), F.col("fmt").alias("src_fmt"),
+    )
+    j = surviving.join(s, "image_id", "left")
+
+    @F.pandas_udf("boolean")
+    def _pix_ok(ba: pd.Series, fa: pd.Series, bb: pd.Series, fb: pd.Series) -> pd.Series:
+        out = []
+        for xa, xfa, xb, xfb in zip(ba, fa, bb, fb):
+            if xa is None or xb is None:
+                out.append(False)
+                continue
+            try:
+                pa = decode_image(bytes(xa), xfa)
+                pb = decode_image(bytes(xb), xfb)
+                if pa.shape != pb.shape:
+                    out.append(False)
+                elif xfa == xfb == "ppm":
+                    out.append(bool((pa == pb).all()))
+                else:
+                    out.append(psnr(pa, pb) >= thr)
+            except Exception:
+                out.append(False)
+        return pd.Series(out)
+
+    return j.where(
+        F.col("src_caption").isNull()
+        | (F.col("caption") != F.col("src_caption"))
+        | ~_pix_ok(F.col("bytes"), F.col("fmt"), F.col("src_bytes"), F.col("src_fmt"))
+    ).select("image_id")
+
+
+def dedup_pixels(images: DataFrame, cfg: DedupConfig, verify_psnr: bool = False,
+                 grid: int = 16) -> dict:
+    """Pixel-tier dedup: simhash -> Hamming candidates -> (optional) PSNR
+    verify -> connected components. Returns dict of stage DataFrames."""
+    from .components import connected_components
+
+    sh = add_simhash(images, cfg, grid=grid).persist()
+    cands = simhash_candidates(sh, cfg)
+    edges = psnr_verify_pairs(cands, images, cfg) if verify_psnr else cands
+    comp, rounds = connected_components(edges)
+    return {
+        "simhash": sh,
+        "candidates": cands,
+        "edges": edges,
+        "clusters": comp,
+        "cc_rounds": rounds,
+    }

@@ -1,0 +1,147 @@
+"""The shippable dedup job (north rule: `spark-submit --py-files dist/engine.zip
+jobs/dedup.py --input ... --output ...`).
+
+Pipeline: images parquet/Iceberg -> MinHash signatures (caption shingles, with
+optional phash bit-shingle fusion) -> LSH candidate pairs -> global type-7
+quantile threshold (composed with the scale noise floor) -> thresholded edges
+-> connected components + size-constrained cluster breaking (distributed
+re-threshold recursion above local_max, exact in-memory Louvain recursion
+below) -> clusters / filtered -> per-cluster consensus + medoid exemplar ->
+optional SimHash pixel tier merged in -> per-row invariant audit.
+
+Every major stage is parquet-checkpointed with a metrics/lineage manifest
+(dynaalign_spark.stages.StageRunner); a re-run resumes after the last
+complete stage. Kill it anywhere, run the same command, get the same bytes.
+
+Usage:
+  spark-submit --py-files dist/engine.zip jobs/dedup.py \
+      --input /data/images --output /data/dedup_out \
+      --config scale --pixel-tier --no-resume
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from dynaalign_spark.config import PARITY, SCALE
+from dynaalign_spark.operators.clusterbreak import clusterbreak_spark
+from dynaalign_spark.operators.consensus import cluster_representatives
+from dynaalign_spark.operators.lsh import candidate_pairs
+from dynaalign_spark.operators.signatures import add_signatures
+from dynaalign_spark.operators.simhash import (
+    add_simhash,
+    dedup_pixels,
+    row_invariant_violations,
+)
+from dynaalign_spark.session import get_spark
+from dynaalign_spark.stages import StageRunner
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="images table (parquet path)")
+    p.add_argument("--output", required=True, help="output/checkpoint directory")
+    p.add_argument("--config", default="scale", choices=["parity", "scale"])
+    p.add_argument("--set", action="append", default=[],
+                   help="config override key=value (repeatable)")
+    p.add_argument("--pixel-tier", action="store_true",
+                   help="also run the SimHash pixel tier and merge its edges")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--master", default=None)
+    return p.parse_args(argv)
+
+
+def build_config(args):
+    cfg = PARITY if args.config == "parity" else SCALE
+    overrides = {}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        cur = getattr(cfg, k)
+        overrides[k] = type(cur)(v) if not isinstance(cur, bool) else v in ("1", "true")
+    return cfg.with_(**overrides) if overrides else cfg
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = build_config(args)
+    from pyspark.sql import SparkSession
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark(app="dynaalign-dedup", master=args.master)
+    spark.sparkContext.setLogLevel("WARN")
+    fp = hashlib.sha256(
+        json.dumps({k: str(v) for k, v in vars(cfg).items()}, sort_keys=True).encode()
+        + args.input.encode()
+        + (b"px" if args.pixel_tier else b"")
+    ).hexdigest()[:16]
+    runner = StageRunner(spark, args.output, resume=not args.no_resume,
+                         config_fingerprint=fp)
+
+    images = spark.read.parquet(args.input)
+
+    sig = runner.run("signatures", lambda: add_signatures(images, cfg))
+    prs = runner.run("pairs", lambda: candidate_pairs(sig, cfg))
+
+    def _cluster():
+        res = clusterbreak_spark(images, cfg, signatures=sig, pairs=prs)
+        return res["clusters"]
+
+    clusters = runner.run("clusters", _cluster)
+
+    def _filtered():
+        # recompute cheap filtered set relative to emitted clusters
+        return (
+            images.select("image_id")
+            .join(clusters, "image_id", "left_anti")
+            .select("image_id", F.lit("filtered_or_below_size_min").alias("reason"))
+        )
+
+    filtered = runner.run("filtered", _filtered)
+
+    if args.pixel_tier:
+        px = runner.run(
+            "pixel_clusters",
+            lambda: dedup_pixels(images, cfg)["clusters"],
+        )
+
+    reps = runner.run(
+        "representatives",
+        lambda: cluster_representatives(clusters, images, signatures=sig),
+    )
+
+    violations = runner.run(
+        "invariant_violations",
+        lambda: row_invariant_violations(
+            images, clusters.join(images, "image_id"), cfg
+        ),
+    )
+    n_viol = violations.count()
+
+    runner.write_summary(
+        {
+            "input": args.input,
+            "config": args.config,
+            "config_fingerprint": fp,
+            "n_images": images.count(),
+            "n_clustered": clusters.count(),
+            "n_filtered": filtered.count(),
+            "n_clusters": reps.count(),
+            "invariant_violations": n_viol,
+        }
+    )
+    print(json.dumps({"ok": n_viol == 0, "out": args.output, "stages": runner.log}))
+    if owns_session:
+        spark.stop()
+    return 0 if n_viol == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
