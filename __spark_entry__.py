@@ -132,6 +132,23 @@ def q_substring_pairs(spark, sf_dir):
     )
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    return textops.winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)
+
+
+def q_simhash_captions(spark, sf_dir):
+    return textops.simhash_captions(_docs(spark, sf_dir), k=4)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return textops.simhash_caption_pairs(_docs(spark, sf_dir), k=4, max_hamming=6)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return annsearch.cosine_neardup_pairs(emb, threshold=0.35)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 10).select(
@@ -227,6 +244,33 @@ def q_ann_lsh_topk(spark, sf_dir):
     return annsearch.ann_lsh_topk(emb, queries, k=5, dim=64, bucket_bits=8, n_tables=4)
 
 
+def q_pixel_dedup_clusters(spark, sf_dir):
+    """SimHash pixel tier on the deterministic synthetic images fixture
+    (BASELINE.json input_hint shape; decode + hyperplane-sign + Hamming-ball
+    LSH + PSNR verify are not SQL-expressible -> rows-only check; pytest
+    holds the seeded oracles)."""
+    from dynaalign_spark.fixtures import images_df, make_images
+    from dynaalign_spark.operators.simhash import dedup_pixels
+
+    rows, _ = make_images(n_clusters=60, seed=4242)
+    images = images_df(spark, rows)
+    res = dedup_pixels(images, PARITY, verify_psnr=True)
+    return res["clusters"].orderBy("image_id")
+
+
+def q_cluster_consensus(spark, sf_dir):
+    """clusterbreak + per-cluster consensus caption / medoid exemplar
+    (reference clusterconsensus, R/clusterbreak.R:309-320)."""
+    from dynaalign_spark.operators.consensus import cluster_representatives
+
+    images = _docs_as_images(spark, sf_dir)
+    cfg = PARITY.with_(size_max=50, size_min=1)
+    res = clusterbreak_spark(images, cfg)
+    return cluster_representatives(
+        res["clusters"], images, signatures=res["signatures"]
+    ).select("cluster_id", "consensus_caption", "exemplar_image_id", "size")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "shingle_counts": q_shingle_counts,
@@ -241,6 +285,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "substring_pairs": q_substring_pairs,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "simhash_captions": q_simhash_captions,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_neardup": q_embedding_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_stats": q_embedding_stats,
         "agg_pricing": q_agg_pricing,
@@ -251,6 +299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidates": q_lsh_candidates,
         "dedup_clusters": q_dedup_clusters,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "pixel_dedup_clusters": q_pixel_dedup_clusters,
+        "cluster_consensus": q_cluster_consensus,
     }
 
 
@@ -291,6 +341,46 @@ _STOP = {
 def _hits(code: str) -> str:
     return (
         f"len(list_filter(string_split(text, ' '), w -> list_contains({_STOP[code]}, w)))"
+    )
+
+
+# DuckDB twins of the winnowing / relational-SimHash rolling hash: same
+# POLY_B/POLY_M integer arithmetic as textops._kgram_hashes_expr, so the
+# hashes match Spark exactly.
+def _duck_kgram_hashes(k: int) -> str:
+    from dynaalign_spark.textops import POLY_M, _poly_pows
+
+    pows = "[" + ", ".join(f"{p}::bigint" for p in _poly_pows(k)) + "]"
+    return (
+        f"list_transform(generate_series(1, length(text) - {k} + 1), "
+        f"i -> (list_sum(list_transform(generate_series(0, {k - 1}), "
+        f"j -> ascii(substring(text, i + j, 1)) * ({pows})[j + 1])) "
+        f"% {POLY_M})::bigint)"
+    )
+
+
+def _duck_winnow(k: int, w: int) -> str:
+    return (
+        f"with h as (select doc_id, {_duck_kgram_hashes(k)} as hs "
+        f"from documents where length(text) >= {k}) "
+        f"select doc_id, unnest(list_distinct(list_transform("
+        f"generate_series(1, greatest(len(hs) - {w} + 1, 1)), "
+        f"p -> list_aggregate(hs[p:p+{w - 1}], 'min'))))::bigint as fp from h"
+    )
+
+
+def _duck_simhash(k: int) -> str:
+    from dynaalign_spark.textops import SIMHASH_REL_BITS
+
+    bits = " + ".join(
+        f"(case when 2 * sum((h >> {b}) & 1) >= count(*) then {1 << b} else 0 end)"
+        for b in range(SIMHASH_REL_BITS)
+    )
+    return (
+        f"with memb as (select distinct doc_id, "
+        f"unnest({_duck_kgram_hashes(k)}) as h "
+        f"from documents where length(text) >= {k}) "
+        f"select doc_id, ({bits})::bigint as simhash from memb group by doc_id"
     )
 
 
@@ -358,6 +448,23 @@ def oracle_sql() -> dict[str, str]:
             "select a.doc_id as contained, b.doc_id as container from documents a "
             "join documents b on a.doc_id != b.doc_id "
             "where length(a.text) >= 8 and contains(b.text, a.text)"
+        ),
+        "winnow_fingerprints": _duck_winnow(8, 4),
+        "simhash_captions": _duck_simhash(4),
+        "simhash_pairs": (
+            f"with s as ({_duck_simhash(4)}) "
+            "select x.doc_id as a, y.doc_id as b, "
+            "bit_count(xor(x.simhash, y.simhash))::int as hamming "
+            "from s x join s y on x.doc_id < y.doc_id "
+            "where bit_count(xor(x.simhash, y.simhash)) <= 6"
+        ),
+        "embedding_neardup": (
+            "select x.vec_id as a, y.vec_id as b, "
+            "round(list_cosine_similarity(x.embedding::double[], y.embedding::double[]), 5)"
+            " as cosine_r "
+            "from embeddings x join embeddings y on x.vec_id < y.vec_id "
+            "where round(list_cosine_similarity(x.embedding::double[], y.embedding::double[]), 5)"
+            " >= 0.35"
         ),
         "ann_cosine_topk": (
             "select qid, vec_id, round(cosine, 5) as cosine_r, rnk from ("

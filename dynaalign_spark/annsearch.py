@@ -150,6 +150,53 @@ def ann_lsh_topk(
     )
 
 
+def cosine_neardup_pairs(
+    embeddings: DataFrame, threshold: float,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    bucket_bits: int = 0, n_tables: int = 4, seed: int = 777, dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cosine_r), a < b,
+    rounded cosine >= threshold.
+
+    bucket_bits=0 (test/oracle mode): exact — crossJoin with a<b canonical
+    ordering (the reference's i<j dense loop, src/minHash.cpp:160-168, in
+    embedding space). bucket_bits>0 (scale mode): candidates restricted to
+    pairs sharing a hyperplane-sign bucket in >= 1 of n_tables tables — the
+    shuffle is the bucket equi-join, never a crossJoin.
+    """
+    lhs = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("qvec"))
+    rhs = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("nvec"))
+    if bucket_bits <= 0:
+        cands = lhs.crossJoin(rhs).where(F.col("a") < F.col("b"))
+    else:
+        planes = hyperplanes(dim, bucket_bits * n_tables, seed)
+        mask = (1 << bucket_bits) - 1
+
+        def keyed(df, vc, nm):
+            sh = simhash_embed_col(planes, vc)
+            keys = F.array(*[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    (F.shiftright(sh, t * bucket_bits).bitwiseAND(F.lit(mask))).alias("bk"),
+                )
+                for t in range(n_tables)
+            ])
+            return df.select("*", F.explode(keys).alias("_k")).select(
+                *df.columns, F.col("_k.tbl").alias("tbl"), F.col("_k.bk").alias("bk")
+            )
+
+        cands = (
+            keyed(lhs, "qvec", "a").join(keyed(rhs, "nvec", "b"), ["tbl", "bk"])
+            .where(F.col("a") < F.col("b"))
+            .dropDuplicates(["a", "b"])
+        )
+    return (
+        with_cosine(cands)
+        .select("a", "b", F.round("cosine", 5).alias("cosine_r"))
+        .where(F.col("cosine_r") >= threshold)
+    )
+
+
 def embedding_stats(embeddings: DataFrame, id_col: str = "vec_id",
                     vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
     """Per-label count + mean L2 norm (rounded for oracle hashing)."""

@@ -196,6 +196,136 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+# Shared rolling-hash constants for the winnowing / relational-SimHash ops.
+# B/M are small enough that ascii * B^j stays well inside int64 in BOTH Spark
+# and DuckDB (term < 2^38, sum of k terms < 2^43) so the oracle can reproduce
+# the hashes exactly with the same integer arithmetic.
+POLY_B = 257
+POLY_M = 1_073_741_789  # prime < 2^30
+SIMHASH_REL_BITS = 30
+
+
+def _poly_pows(k: int) -> list[int]:
+    out, p = [], 1
+    for _ in range(k):
+        out.append(p)
+        p = (p * POLY_B) % POLY_M
+    return out
+
+
+def _kgram_hashes_expr(text_col: str, k: int) -> str:
+    """SQL expr: array of polynomial k-gram hashes, one per position
+    (the rolling-hash form of the reference's shingle op, R/minHash.R:12-23,
+    with content hashing per quirk Q3)."""
+    pows = ", ".join(f"{p}L" for p in _poly_pows(k))
+    return (
+        f"transform(sequence(1, greatest(length({text_col}) - {k} + 1, 0)), "
+        f"i -> aggregate(sequence(0, {k - 1}), 0L, "
+        f"(acc, j) -> acc + ascii(substring({text_col}, i + j, 1)) "
+        f"* element_at(array({pows}), j + 1)) % {POLY_M})"
+    )
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4,
+                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    (doc_id, fp) — distinct per-window minima of the k-gram rolling hashes,
+    window size w. Docs shorter than k emit nothing (quirk Q2 sentinel);
+    docs with fewer than w k-grams emit the single global minimum.
+
+    Pure column expressions (narrow map + explode; the distinct is per-doc
+    inside the array, so NO shuffle until the caller aggregates) — at 100 TB
+    this is a scan-speed fingerprinting pass.
+    """
+    # materialize the hash array once per row — inlining it inside the
+    # window lambda would re-evaluate the whole array per window (quadratic;
+    # higher-order fns run interpreted, outside whole-stage codegen)
+    hs = docs.where(F.length(text_col) >= k).select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(_kgram_hashes_expr(text_col, k)).alias("hs"),
+    )
+    fps = (
+        f"array_distinct(transform(sequence(1, greatest(size(hs) - {w} + 1, 1)), "
+        f"p -> array_min(slice(hs, p, {w}))))"
+    )
+    return hs.select("doc_id", F.explode(F.expr(fps)).alias("fp"))
+
+
+def simhash_captions(docs: DataFrame, k: int = 4,
+                     id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Relational text SimHash: (doc_id, simhash) — 30-bit majority-vote
+    fingerprint over the doc's distinct k-gram rolling hashes.
+
+    bit b of simhash = 1 iff >= half of the doc's distinct k-gram hashes have
+    bit b set (ties -> 1). Fully JVM-side (explode -> per-doc groupBy with 30
+    bit-count sums); the DuckDB oracle reproduces it exactly because the
+    k-gram hash is the shared polynomial (POLY_B/POLY_M), not engine hash().
+    Pixel-tier SimHash (operators/simhash.py) is the production analog; this
+    relational form covers the text/caption axis of the training-pipeline
+    SimHash requirement.
+    """
+    memb = (
+        docs.where(F.length(text_col) >= k)
+        .select(F.col(id_col).alias("doc_id"),
+                F.explode(F.expr(_kgram_hashes_expr(text_col, k))).alias("h"))
+        .dropDuplicates(["doc_id", "h"])
+    )
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.expr(f"(h >> {b}) & 1")).alias(f"c{b}")
+        for b in range(SIMHASH_REL_BITS)
+    ]
+    bits = " + ".join(
+        f"(case when 2 * c{b} >= n then {1 << b} else 0 end)"
+        for b in range(SIMHASH_REL_BITS)
+    )
+    return (
+        memb.groupBy("doc_id").agg(*aggs)
+        .select("doc_id", F.expr(bits).cast("long").alias("simhash"))
+    )
+
+
+def simhash_caption_pairs(docs: DataFrame, k: int = 4, max_hamming: int = 6,
+                          **kw) -> DataFrame:
+    """(a, b, hamming) caption pairs within Hamming distance ``max_hamming``
+    of their relational SimHash — candidate generation by pigeonhole chunk
+    equi-join (complete: any pair within d differs in at most d of the d+1
+    chunks, so it agrees exactly on >= 1), verified with JVM bit_count.
+
+    The chunk join is the scale path (one shuffle on (chunk_id, chunk_bits));
+    the brute-force oracle joins on bit_count(xor) directly.
+    """
+    sh = simhash_captions(docs, k, **kw)
+    n_chunks = max_hamming + 1
+    base, rem = SIMHASH_REL_BITS // n_chunks, SIMHASH_REL_BITS % n_chunks
+    offs, lens, off = [], [], 0
+    for i in range(n_chunks):
+        ln = base + (1 if i < rem else 0)
+        offs.append(off)
+        lens.append(ln)
+        off += ln
+    chunks = F.array(*[
+        F.struct(
+            F.lit(i).alias("chunk_id"),
+            F.expr(f"(simhash >> {offs[i]}) & {(1 << lens[i]) - 1}").alias("chunk_bits"),
+        )
+        for i in range(n_chunks)
+    ])
+    keyed = sh.select("doc_id", "simhash", F.explode(chunks).alias("c")).select(
+        "doc_id", "simhash", "c.chunk_id", "c.chunk_bits"
+    )
+    lhs = keyed.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"),
+                       "chunk_id", "chunk_bits")
+    rhs = keyed.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"),
+                       "chunk_id", "chunk_bits")
+    return (
+        lhs.join(rhs, ["chunk_id", "chunk_bits"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.expr("bit_count(sa ^ sb)").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a", "b"])
+    )
+
+
 def suffix_candidates(docs: DataFrame, prefix_len: int, min_suffix: int = 8,
                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Distributed suffix-array pass for exact substring duplicates.

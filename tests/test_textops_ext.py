@@ -1,0 +1,135 @@
+"""Tests for the training-pipeline text/embedding extensions added on top of
+the reference inventory (SURVEY.md §2.4 + driver brief): winnowing document
+fingerprints, relational caption SimHash + Hamming pairs, embedding-cosine
+near-dup pairs. Python oracles are independent reimplementations of the same
+published algorithms (Schleimer et al. SIGMOD'03 winnowing; Charikar'02
+SimHash majority vote)."""
+
+import numpy as np
+import pytest
+
+from dynaalign_spark import annsearch, textops
+from dynaalign_spark.textops import POLY_B, POLY_M, SIMHASH_REL_BITS
+
+
+def py_kgram_hashes(text: str, k: int) -> list[int]:
+    pows = [pow(POLY_B, j, POLY_M) for j in range(k)]
+    return [
+        sum(ord(text[i + j]) * pows[j] for j in range(k)) % POLY_M
+        for i in range(len(text) - k + 1)
+    ]
+
+
+def py_winnow(text: str, k: int, w: int) -> set[int]:
+    hs = py_kgram_hashes(text, k)
+    if not hs:
+        return set()
+    n_win = max(len(hs) - w + 1, 1)
+    return {min(hs[p : p + w]) for p in range(n_win)}
+
+
+def py_simhash(text: str, k: int) -> int:
+    hs = sorted(set(py_kgram_hashes(text, k)))
+    n = len(hs)
+    out = 0
+    for b in range(SIMHASH_REL_BITS):
+        cnt = sum((h >> b) & 1 for h in hs)
+        if 2 * cnt >= n:
+            out |= 1 << b
+    return out
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "completely different content here with other words"),
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (4, "short"),  # shorter than k=8 -> no fingerprints
+    (5, "abcdefgh"),  # exactly k chars -> one k-gram, one fingerprint
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_winnow_matches_python_oracle(spark, docs_df):
+    got = {
+        (r.doc_id, r.fp)
+        for r in textops.winnow_fingerprints(docs_df, k=8, w=4).collect()
+    }
+    want = {
+        (i, fp) for i, t in DOCS for fp in py_winnow(t, 8, 4)
+    }
+    assert got == want
+    # doc 4 absent (len < k, quirk Q2); doc 5 has exactly one fp
+    assert not any(d == 4 for d, _ in got)
+    assert sum(1 for d, _ in got if d == 5) == 1
+    # exact dup docs share identical fingerprint sets
+    f0 = {fp for d, fp in got if d == 0}
+    f3 = {fp for d, fp in got if d == 3}
+    assert f0 == f3 and f0
+
+
+def test_winnow_coverage_guarantee(spark, docs_df):
+    """Winnowing guarantee: every window of w consecutive k-grams contributes
+    its minimum, so any shared substring of length >= k + w - 1 yields a
+    shared fingerprint between the two docs."""
+    got = textops.winnow_fingerprints(docs_df, k=8, w=4).collect()
+    f0 = {r.fp for r in got if r.doc_id == 0}
+    f1 = {r.fp for r in got if r.doc_id == 1}
+    # docs 0/1 share a 39-char prefix >> k+w-1=11 -> must overlap
+    assert f0 & f1
+
+
+def test_simhash_captions_matches_python_oracle(spark, docs_df):
+    got = {r.doc_id: r.simhash for r in textops.simhash_captions(docs_df, k=4).collect()}
+    want = {i: py_simhash(t, 4) for i, t in DOCS if len(t) >= 4}
+    assert got == want
+
+
+def test_simhash_pairs_complete_and_verified(spark, docs_df):
+    """Chunk-join candidates + bit_count verify == brute force Hamming<=d."""
+    d = 6
+    pairs = {
+        (r.a, r.b): r.hamming
+        for r in textops.simhash_caption_pairs(docs_df, k=4, max_hamming=d).collect()
+    }
+    sh = {i: py_simhash(t, 4) for i, t in DOCS if len(t) >= 4}
+    want = {}
+    ids = sorted(sh)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            h = bin(sh[a] ^ sh[b]).count("1")
+            if h <= d:
+                want[(a, b)] = h
+    assert pairs == want
+    assert (0, 3) in pairs and pairs[(0, 3)] == 0  # exact dups at distance 0
+
+
+def test_cosine_neardup_bucketed_superset_check(spark):
+    """Scale mode (bucketed) returns a subset of exact mode; at 12 tables x
+    4 bits the planted near-dup pairs (cos ~ 1) are all retained."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((100 + i, [float(x) for x in v + rng.standard_normal(16).astype(np.float32) * 0.01]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r.a, r.b)
+        for r in annsearch.cosine_neardup_pairs(emb, threshold=0.99).collect()
+    }
+    approx = {
+        (r.a, r.b)
+        for r in annsearch.cosine_neardup_pairs(
+            emb, threshold=0.99, bucket_bits=4, n_tables=12, dim=16
+        ).collect()
+    }
+    planted = {(i, 100 + i) for i in range(20)}
+    assert planted <= exact
+    assert approx <= exact
+    assert planted <= approx  # multi-table LSH keeps the true near-dups
