@@ -30,8 +30,21 @@ UINT32_MAX = 0xFFFFFFFF
 
 
 def _load_seed_table() -> dict:
-    with open(os.path.abspath(_CONF_PATH)) as f:
-        return json.load(f)
+    path = os.path.abspath(_CONF_PATH)
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    # spark-submit --py-files engine.zip: the package lives inside a zip, so
+    # resolve conf/seeds.json through the zip instead of the filesystem
+    import zipfile
+
+    p = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    while p and p != os.path.dirname(p):
+        if zipfile.is_zipfile(p):
+            with zipfile.ZipFile(p) as z, z.open("conf/seeds.json") as f:
+                return json.load(f)
+        p = os.path.dirname(p)
+    raise FileNotFoundError(f"seeds.json not found near {_CONF_PATH}")
 
 
 @dataclass(frozen=True)

@@ -128,6 +128,55 @@ def louvain(
     return {inv[i]: rank[out[i]] for i in range(n)}
 
 
+def louvain_mod(
+    nodes: list,
+    edges: list[tuple],
+    res: float = 1.05,
+    res_range_perc: float = 0.0,
+    res_step: float = 0.0,
+    itr: int = 3,
+    self_weight: float = 0.0,
+) -> dict:
+    """Resolution grid-search, keep max modularity — the transplant of the
+    reference's ``louvain_mod`` (R/clusterbreak.R:37-67): sweep resolutions
+    in [res*(1-p), res*(1+p)] by ``res_step`` with ``itr`` restarts each,
+    return {"cluster": assign, "resolution": r, "modularity": q} of the best.
+
+    The reference's restarts differ by igraph's internal randomization; ours
+    are deterministic: restart j relabels nodes by a seeded hash order
+    (louvain sweeps in sorted-id order, so relabeling changes the sweep),
+    runs on the relabeled graph, and maps back — reproducible restarts (the
+    engine-wide determinism pin, SURVEY.md §4 point 5).
+    """
+    import zlib
+
+    if res_range_perc > 0 and res_step > 0:
+        lo, hi = res * (1 - res_range_perc), res * (1 + res_range_perc)
+        grid, r = [], lo
+        while r <= hi + 1e-12:
+            grid.append(round(r, 12))
+            r += res_step
+    else:
+        grid = [res]
+    base = sorted(nodes)
+    best = None
+    for r in grid:
+        for j in range(max(itr, 1)):
+            if j == 0:
+                order = base
+            else:
+                order = sorted(base, key=lambda n: zlib.crc32(f"{j}:{n}".encode()))
+            relab = {n: i for i, n in enumerate(order)}
+            inv = {i: n for n, i in relab.items()}
+            e2 = [(relab[u], relab[v], w) for u, v, w in edges]
+            a2 = louvain(list(relab.values()), e2, resolution=r, self_weight=self_weight)
+            assign = {inv[i]: c for i, c in a2.items()}
+            q = modularity(nodes, edges, assign, resolution=r, self_weight=self_weight)
+            if best is None or q > best["modularity"] + 1e-15:
+                best = {"cluster": assign, "resolution": r, "modularity": q}
+    return best
+
+
 def modularity(
     nodes: list, edges: list[tuple], assign: dict, resolution: float = 1.0,
     self_weight: float = 0.0,

@@ -47,7 +47,9 @@ from dynaalign_spark.stages import StageRunner
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--input", required=True, help="images table (parquet path)")
+    p.add_argument("--input", required=True,
+                   help="images table: parquet path or catalog table name "
+                        "(e.g. lake.images -> Iceberg when configured)")
     p.add_argument("--output", required=True, help="output/checkpoint directory")
     p.add_argument("--config", default="scale", choices=["parity", "scale"])
     p.add_argument("--set", action="append", default=[],
@@ -85,7 +87,9 @@ def main(argv=None):
     runner = StageRunner(spark, args.output, resume=not args.no_resume,
                          config_fingerprint=fp)
 
-    images = spark.read.parquet(args.input)
+    from dynaalign_spark.io import read_images
+
+    images = read_images(spark, args.input)
 
     sig = runner.run("signatures", lambda: add_signatures(images, cfg))
     prs = runner.run("pairs", lambda: candidate_pairs(sig, cfg))

@@ -108,3 +108,30 @@ def test_cluster_consensus_majority():
     caps = ["abcd", "abcd", "abce"]
     assert oracle.cluster_consensus(caps) == "abcd"
     assert oracle.cluster_consensus([]) == ""
+
+
+def test_louvain_mod_resolution_sweep():
+    """louvain_mod (R/clusterbreak.R:37-67): grid over resolutions x
+    deterministic restarts, returns the max-modularity assignment."""
+    from dynaalign_spark.louvain import louvain_mod, modularity
+
+    # two 4-cliques joined by one weak edge
+    nodes = list(range(8))
+    edges = []
+    for base in (0, 4):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((base + i, base + j, 1.0))
+    edges.append((0, 4, 0.1))
+    res = louvain_mod(nodes, edges, res=1.0, res_range_perc=0.5, res_step=0.25, itr=3)
+    assert set(res) == {"cluster", "resolution", "modularity"}
+    a = res["cluster"]
+    assert len({a[0], a[1], a[2], a[3]}) == 1
+    assert len({a[4], a[5], a[6], a[7]}) == 1
+    assert a[0] != a[4]
+    # best modularity >= single-run modularity at the center resolution
+    q_center = modularity(nodes, edges, a, resolution=res["resolution"])
+    assert abs(q_center - res["modularity"]) < 1e-12
+    # deterministic: same inputs, same output
+    res2 = louvain_mod(nodes, edges, res=1.0, res_range_perc=0.5, res_step=0.25, itr=3)
+    assert res2 == res

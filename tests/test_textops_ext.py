@@ -133,3 +133,29 @@ def test_cosine_neardup_bucketed_superset_check(spark):
     assert planted <= exact
     assert approx <= exact
     assert planted <= approx  # multi-table LSH keeps the true near-dups
+
+
+def test_io_seam_parquet_roundtrip(spark, tmp_path):
+    """read_images/write_table parquet fallback: schema-faithful roundtrip,
+    column pruning, partitioned sink (the Iceberg path needs the runtime jar
+    absent from this sandbox; is_table_name routes it)."""
+    from dynaalign_spark import io as dio
+    from dynaalign_spark.fixtures import images_df, make_images
+
+    rows, _ = make_images(n_clusters=5, seed=11)
+    df = images_df(spark, rows)
+    path = str(tmp_path / "imgs.parquet")
+    dio.write_table(df, path)
+    back = dio.read_images(spark, path)
+    assert set(back.columns) == set(dio.IMAGES_COLUMNS)
+    assert back.count() == df.count()
+    pruned = dio.read_images(spark, path, columns=["image_id", "caption"])
+    assert pruned.columns == ["image_id", "caption"]
+    # partitioned sink
+    part = str(tmp_path / "by_fmt.parquet")
+    dio.write_table(df, part, partition_by=["fmt"])
+    assert dio.read_images(spark, part).count() == df.count()
+    # catalog-name routing (no catalog configured here -> just the predicate)
+    assert dio.is_table_name("lake.images")
+    assert not dio.is_table_name("/data/images.parquet")
+    assert not dio.is_table_name("s3://bucket/images.parquet".replace("s3://", "/"))
