@@ -4,10 +4,11 @@
 sf0.001 ``documents`` table. ``queries()`` exposes one callable per
 implemented operator from SURVEY.md §2 (+ the training-pipeline extensions);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
-one. Non-SQL ops (murmur3 MinHash signatures, LSH banding, connected
-components, SimHash buckets, winnowing fingerprints) are rows-only checked
-here and bit-exactly checked against the seeded in-memory oracle in
-tests/ (SURVEY.md §5.2).
+one — including winnowing fingerprints and relational SimHash, whose shared
+polynomial rolling hash DuckDB reproduces bit-for-bit. Non-SQL ops (murmur3
+MinHash signatures, LSH banding, connected components, pixel SimHash,
+consensus) are rows-only checked here and checked bit-exactly against the
+seeded in-memory oracle in tests/ (SURVEY.md §5.2).
 """
 
 from __future__ import annotations

@@ -84,6 +84,12 @@ class DedupConfig:
     # threshold estimation
     exact_threshold_max_rows: int = 5000   # below this, exact all-pairs quantile
     threshold_sample_pairs: int = 2_000_000
+    # signature verify-join strategy: corpora up to this many rows broadcast
+    # the (int-cast) signature table instead of shuffling it per pair —
+    # ~200B/row, so 8M rows ~= 1.6 GB broadcast, fine for multi-GB executors;
+    # beyond it the join shuffles (production: bucketed co-located fetch)
+    sig_broadcast_max: int = 8_000_000
+
     # absolute edge-similarity floor, composed as max(quantile, min_edge_sim).
     # 0.0 = pure reference semantics (quantile only). At web scale the corpus
     # quantile of a mostly-zero distribution is 0, which keeps every weak

@@ -334,9 +334,32 @@ def clusterbreak_spark(
         "image_id", F.lit("empty_shingle_set").alias("reason")
     )
 
-    prs = pairs if pairs is not None else candidate_pairs(sig, cfg)
+    # zero-quantile shortcut: the LSH pair generator emits at most
+    # bands * n * max((cap-1)/2, chain_width) candidates (every other pair's
+    # sim is an exact 0 under r=1; an undercount under r>=2, which only adds
+    # zeros), so whenever the p-rank of the full n(n-1)/2 distribution
+    # provably lands inside the zero block, the reference quantile is 0.0 and
+    # the effective threshold is the configured floor. Then the floor can be
+    # pushed INTO the verify stage (sim_floor), so sub-floor pairs are never
+    # persisted or shuffled downstream — at web scale this is always the
+    # taken path, exactly mirroring the documented max(quantile, floor)
+    # composition (R quantile semantics preserved verbatim below the cutoff).
+    total = n_valid * (n_valid - 1) // 2
+    m_ub = cfg.bands * n_valid * max((cfg.band_group_cap - 1) / 2, cfg.chain_width)
+    zero_quantile = total > 0 and (total - 1) * cfg.thresh_p < total - m_ub
+    if pairs is not None:
+        prs = pairs
+    else:
+        prs = candidate_pairs(
+            sig, cfg,
+            sim_floor=cfg.min_edge_sim if zero_quantile else 0.0,
+            n_rows_hint=n_valid,
+        )
     prs = prs.persist()
-    thr = max(quantile_threshold(prs, n_valid, cfg.thresh_p), cfg.min_edge_sim)
+    if zero_quantile:
+        thr = cfg.min_edge_sim
+    else:
+        thr = max(quantile_threshold(prs, n_valid, cfg.thresh_p), cfg.min_edge_sim)
     edges = threshold_edges(prs, thr)
 
     comp, cc_rounds = connected_components(edges)
@@ -350,9 +373,20 @@ def clusterbreak_spark(
     groups0 = comp.select(
         F.col("component").alias("group_id"), "image_id", F.lit(1).alias("lvl")
     )
-    small, solo_distr, unbroken, d_rounds = _distributed_break(
-        prs, groups0, cfg, local_max, max_distributed_rounds
-    )
+    # fast path: when no component exceeds local_max (the common case at
+    # healthy thresholds), skip the distributed re-threshold machinery — its
+    # per-round fixed cost (sizes agg, isEmpty probes, localCheckpoints) is
+    # pure serial latency that caps scaling efficiency on clean corpora
+    max_comp = comp.groupBy("component").count().agg(F.max("count")).first()[0] or 0
+    if max_comp <= local_max:
+        small, d_rounds = groups0, 0
+        spark_ = prs.sparkSession
+        solo_distr = spark_.createDataFrame([], "image_id string, lvl int")
+        unbroken = spark_.createDataFrame([], "group_id string, image_id string")
+    else:
+        small, solo_distr, unbroken, d_rounds = _distributed_break(
+            prs, groups0, cfg, local_max, max_distributed_rounds
+        )
 
     # per-component capped edge weight, for the lvl-1 m2 correction
     comp_w = (

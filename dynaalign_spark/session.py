@@ -26,6 +26,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # split scans finer than the 128 MB default: the narrow map stages
+        # (signature UDF, band explode) inherit scan parallelism, and a
+        # ~3 GB input would otherwise fan out to only ~21 tasks — below the
+        # core count, capping speedup of every scan-rooted stage
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         # all row-level compute goes through Arrow-batched pandas UDFs
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
