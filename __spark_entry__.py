@@ -259,6 +259,21 @@ def q_pixel_dedup_clusters(spark, sf_dir):
     return res["clusters"].orderBy("image_id")
 
 
+def q_image_features(spark, sf_dir):
+    """Multimodal decode -> resize -> feature-extract over binary image
+    columns (mapInPandas Arrow batches; deterministic sandbox codec)."""
+    from dynaalign_spark.fixtures import images_df, make_images
+    from dynaalign_spark.operators.simhash import decode_features
+
+    rows, _ = make_images(n_clusters=40, seed=777)
+    return decode_features(images_df(spark, rows)).select(
+        "image_id", "w", "h",
+        F.round("mean_luma", 6).alias("mean_luma_r"),
+        F.round("std_luma", 6).alias("std_luma_r"),
+        F.size("features").alias("n_features"),
+    ).orderBy("image_id")
+
+
 def q_cluster_consensus(spark, sf_dir):
     """clusterbreak + per-cluster consensus caption / medoid exemplar
     (reference clusterconsensus, R/clusterbreak.R:309-320)."""
@@ -301,6 +316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "ann_lsh_topk": q_ann_lsh_topk,
         "pixel_dedup_clusters": q_pixel_dedup_clusters,
+        "image_features": q_image_features,
         "cluster_consensus": q_cluster_consensus,
     }
 

@@ -189,6 +189,49 @@ def row_invariant_violations(
     ).select("image_id")
 
 
+def decode_features(images: DataFrame, grid: int = 8) -> DataFrame:
+    """Multimodal feature-extraction pass over the binary image column:
+    decode -> luma -> area-resize to grid x grid -> per-image stats + feature
+    vector. ``mapInPandas`` (Arrow record batches), so the plumbing — schema,
+    batch shape, partition parallelism — is exactly what a real
+    decode/resize/embed stage uses at scale; only the codec is the sandbox's
+    deterministic one (real-world codecs are stubbed per the driver brief,
+    codec.decode_image raises NotImplementedError for them).
+
+    Returns (image_id, w, h, mean_luma, std_luma, features array<float>).
+    """
+    import pyarrow  # noqa: F401  (Arrow batching is the point of this path)
+
+    def batches(it):
+        for pdf in it:
+            feats, means, stds, ws, hs, ids = [], [], [], [], [], []
+            for img_id, buf, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                try:
+                    pix = decode_image(bytes(buf), fmt)
+                except Exception:
+                    continue
+                from ..codec import area_resize, to_gray
+
+                luma = to_gray(pix)
+                small = area_resize(luma, grid, grid)
+                ids.append(img_id)
+                hs.append(pix.shape[0])
+                ws.append(pix.shape[1])
+                means.append(float(luma.mean()))
+                stds.append(float(luma.std()))
+                feats.append([float(x) for x in small.ravel()])
+            yield pd.DataFrame(
+                {"image_id": ids, "w": ws, "h": hs, "mean_luma": means,
+                 "std_luma": stds, "features": feats}
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        batches,
+        "image_id string, w int, h int, mean_luma double, std_luma double, "
+        "features array<float>",
+    )
+
+
 def dedup_pixels(images: DataFrame, cfg: DedupConfig, verify_psnr: bool = False,
                  grid: int = 16) -> dict:
     """Pixel-tier dedup: simhash -> Hamming candidates -> (optional) PSNR

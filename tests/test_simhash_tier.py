@@ -135,3 +135,26 @@ def test_dedup_pixels_recall_on_planted_clusters(spark, images, fixture_rows):
                     got += 1
     assert want > 0
     assert got / want >= 0.95, (got, want)
+
+def test_decode_features_matches_codec(spark):
+    """mapInPandas decode/resize/feature pass == direct codec computation
+    per row (multimodal plumbing: schema, Arrow batch shape, grid resize)."""
+    import numpy as np
+
+    from dynaalign_spark.codec import area_resize, decode_image, to_gray
+    from dynaalign_spark.fixtures import images_df, make_images
+    from dynaalign_spark.operators.simhash import decode_features
+
+    rows, _ = make_images(n_clusters=4, seed=21)
+    got = {r.image_id: r for r in decode_features(images_df(spark, rows), grid=8).collect()}
+    assert set(got) == {r["image_id"] for r in rows}
+    for r in rows[:10]:
+        pix = decode_image(bytes(r["bytes"]), r["fmt"])
+        luma = to_gray(pix)
+        g = got[r["image_id"]]
+        assert (g.h, g.w) == pix.shape[:2]
+        assert abs(g.mean_luma - float(luma.mean())) < 1e-9
+        np.testing.assert_allclose(
+            np.array(g.features, dtype=np.float64).reshape(8, 8),
+            area_resize(luma, 8, 8), rtol=1e-6,
+        )
