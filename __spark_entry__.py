@@ -274,6 +274,22 @@ def q_image_features(spark, sf_dir):
     ).orderBy("image_id")
 
 
+def q_incremental_matches(spark, sf_dir):
+    """Stream-static incremental dedup operator (batch form of the
+    Structured Streaming ingest path, streaming.incremental_matches): the
+    first 50 docs re-ingested against the full corpus."""
+    from dynaalign_spark import streaming
+
+    corpus = add_signatures(_docs_as_images(spark, sf_dir), PARITY)
+    new = add_signatures(
+        _docs_as_images(spark, sf_dir).where(F.col("image_id") < "doc00000050"),
+        PARITY,
+    )
+    return streaming.incremental_matches(new, corpus, PARITY, threshold=0.5).select(
+        "new_id", "known_id", F.round("sim", 9).alias("sim_r")
+    )
+
+
 def q_cluster_consensus(spark, sf_dir):
     """clusterbreak + per-cluster consensus caption / medoid exemplar
     (reference clusterconsensus, R/clusterbreak.R:309-320)."""
@@ -317,6 +333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "pixel_dedup_clusters": q_pixel_dedup_clusters,
         "image_features": q_image_features,
+        "incremental_matches": q_incremental_matches,
         "cluster_consensus": q_cluster_consensus,
     }
 
