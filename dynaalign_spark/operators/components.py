@@ -83,7 +83,9 @@ def connected_components(
     prev_sig = None
     rounds = 0
     for rounds in range(1, max_rounds + 1):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # lazy checkpoint: the signature agg right below materializes it, so
+        # each round costs ONE job (materialize+fingerprint) instead of two
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         sig = _signature(e)
         if sig == prev_sig:
             break
