@@ -28,7 +28,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_data")
 IMAGES_N_CLUSTERS = 1200      # ~8.6k rows: the per-round bench table
-SCALING_N_ROWS = 3_200_000    # the two-cluster-size scaling table (sized so
+SCALING_N_ROWS = 6_400_000    # the two-cluster-size scaling table (sized so
                               # per-core work dominates fixed driver overhead
                               # at local[8] vs local[32] — the efficiency
                               # denominator is honest parallel work)
@@ -165,11 +165,21 @@ def _worker_dedup(cpus: int) -> None:
     warm["signatures"].unpersist()
     warm["pairs"].unpersist()
     warm["components"].unpersist()
-    t0 = time.time()
-    res = clusterbreak_spark(images, SCALE.with_(size_max=50, size_min=1))
-    n_out = res["clusters"].count()
-    dt = time.time() - t0
+    # min-of-2 repetitions: single-shot local-mode timings swing +-20% with
+    # GC/page-cache state; the minimum is the standard steady-state estimate
+    # and is applied identically at both parallelism levels
+    reps = []
+    n_out = 0
+    for _ in range(2):
+        t0 = time.time()
+        res = clusterbreak_spark(images, SCALE.with_(size_max=50, size_min=1))
+        n_out = res["clusters"].count()
+        reps.append(time.time() - t0)
+        for key in ("signatures", "pairs", "components"):
+            res[key].unpersist()
+    dt = min(reps)
     print(json.dumps({"cpus": cpus, "rows": n, "out": n_out, "sec": round(dt, 3),
+                      "reps": [round(r, 3) for r in reps],
                       "images_per_sec": round(n / dt, 1)}))
     spark.stop()
 
