@@ -82,6 +82,14 @@ def q_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_distance_pairs(spark, sf_dir):
+    """dist = 1 - sim on the pair set (reference compute_distance_matrix,
+    R/minHash.R:166-182 — the dense matrix becomes a pairs DataFrame)."""
+    return _jaccard_pairs(spark, sf_dir).select(
+        "a", "b", F.round(1 - F.col("jaccard"), 9).alias("dist_r")
+    )
+
+
 def q_similarity_stats(spark, sf_dir):
     return textops.similarity_stats(_jaccard_pairs(spark, sf_dir))
 
@@ -290,6 +298,31 @@ def q_incremental_matches(spark, sf_dir):
     )
 
 
+def q_nw_similarity(spark, sf_dir):
+    """Exact all-pairs Needleman-Wunsch similarity (reference similarityNW,
+    src/pairwiseSeqAlign.cpp:331-365) on a 40-doc subset — affine-gap DP is
+    not SQL-expressible -> rows-only check; pytest holds golden cases and a
+    brute-force DP oracle (tests/test_align.py)."""
+    from dynaalign_spark.operators.align import similarity_nw
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 40)
+    return similarity_nw(docs, matrix_name="IDENTITY").select(
+        "a", "b", F.round("nw_sim", 9).alias("nw_sim_r")
+    )
+
+
+def q_nw_verified_pairs(spark, sf_dir):
+    """Scale path: LSH candidates -> exact NW verification on pairs only
+    (the reference's approx-then-exact two-tier design, SURVEY.md §2 #15)."""
+    from dynaalign_spark.operators.align import nw_verified_pairs
+
+    docs = _docs(spark, sf_dir)
+    cands = textops.ngram_jaccard_pairs_lsh(docs, JK, threshold=JTHRESH)
+    return nw_verified_pairs(docs, cands, matrix_name="IDENTITY").select(
+        "a", "b", F.round("nw_sim", 9).alias("nw_sim_r")
+    )
+
+
 def q_cluster_consensus(spark, sf_dir):
     """clusterbreak + per-cluster consensus caption / medoid exemplar
     (reference clusterconsensus, R/clusterbreak.R:309-320)."""
@@ -308,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_counts": q_shingle_counts,
         "vocab_top": q_vocab_top,
         "jaccard_pairs": q_jaccard_pairs,
+        "distance_pairs": q_distance_pairs,
         "similarity_stats": q_similarity_stats,
         "most_similar_pair": q_most_similar_pair,
         "quantile_edges": q_quantile_edges,
@@ -335,6 +369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "incremental_matches": q_incremental_matches,
         "cluster_consensus": q_cluster_consensus,
+        "nw_similarity": q_nw_similarity,
+        "nw_verified_pairs": q_nw_verified_pairs,
     }
 
 
@@ -432,6 +468,9 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": (
             f"select a, b, inter_cnt, union_cnt, round(jaccard, 9) as jaccard_r "
             f"from ({_JPAIRS})"
+        ),
+        "distance_pairs": (
+            f"select a, b, round(1 - jaccard, 9) as dist_r from ({_JPAIRS})"
         ),
         "similarity_stats": (
             f"select count(*) as n_pairs, round(avg(jaccard), 9) as mean_sim, "

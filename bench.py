@@ -184,6 +184,32 @@ def _worker_dedup(cpus: int) -> None:
     spark.stop()
 
 
+def _worker_profile(cpus: int) -> None:
+    """Like --worker but one timed rep with per-stage wall times (profile
+    dict) — the scaling-efficiency decomposition. Run under taskset."""
+    from dynaalign_spark.config import SCALE
+    from dynaalign_spark.operators.clusterbreak import clusterbreak_spark
+    from dynaalign_spark.session import get_spark
+
+    spark = get_spark(app=f"dedup-profile-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    images = spark.read.parquet(scaling_parquet(spark))
+    warm = clusterbreak_spark(images.limit(20_000), SCALE.with_(size_max=50, size_min=1))
+    warm["clusters"].count()
+    for key in ("signatures", "pairs", "components"):
+        warm[key].unpersist()
+    prof: dict = {}
+    t0 = time.time()
+    res = clusterbreak_spark(images, SCALE.with_(size_max=50, size_min=1), profile=prof)
+    tr = time.time()
+    res["clusters"].count()
+    prof["refine"] = round(time.time() - tr, 3)
+    prof["total"] = round(time.time() - t0, 3)
+    print(json.dumps({"cpus": cpus, "profile": prof}))
+    spark.stop()
+
+
 def _worker_gen() -> None:
     """Subprocess body: pre-generate the scaling parquet at full parallelism
     so neither timed worker pays generation cost."""
@@ -197,16 +223,29 @@ def _worker_gen() -> None:
 
 
 def run_scaling() -> dict:
-    """local[8] vs local[32] on identical input -> scaling efficiency."""
+    """N=8 vs 4N=32 cores on identical input -> scaling efficiency.
+
+    Each level is pinned to exactly its core budget with taskset (cpus 0-7 vs
+    0-31): without the pin, the local[8] JVM's GC threads, Spark internal
+    pools, and Python/Arrow UDF worker processes free-ride on the 24 idle
+    cores, overstating N-core throughput — a real N-executor cluster has no
+    idle 4N-cluster to borrow from. Java and Python both derive their
+    thread-pool sizes from sched_getaffinity, so the pin confines everything.
+    """
     subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--worker-gen"],
         capture_output=True, text=True, timeout=1800,
     )
+    import shutil
+
     out = {}
     for cpus in (8, 32):
+        cmd = [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)]
+        if shutil.which("taskset") and (os.cpu_count() or 0) >= cpus:
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
-            capture_output=True, text=True, timeout=2400,
+            cmd,
+            capture_output=True, text=True, timeout=3600,
         )
         line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
         out[cpus] = json.loads(line)
@@ -223,6 +262,8 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker-gen":
         _worker_gen()
+    elif len(sys.argv) > 2 and sys.argv[1] == "--worker-profile":
+        _worker_profile(int(sys.argv[2]))
     elif len(sys.argv) > 2 and sys.argv[1] == "--worker":
         _worker_dedup(int(sys.argv[2]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":

@@ -319,17 +319,28 @@ def clusterbreak_spark(
     pairs: DataFrame | None = None,
     local_max: int = 1500,
     max_distributed_rounds: int = 12,
+    profile: dict | None = None,
 ) -> dict:
     """Full pipeline -> dict with clusters / filtered / metrics DataFrames.
 
     Returns keys: signatures, pairs, threshold, edges, components,
     assignments, clusters (image_id, cluster_id), filtered (image_id,
     reason), cc_rounds, distributed_rounds.
+
+    ``profile``: pass a dict to force + wall-time each stage boundary into it
+    (signatures / pairs / components / aggs) — the per-stage metrics feed the
+    north-rule lineage JSON and the scaling-efficiency decomposition in
+    BENCH.md. When None (default) no extra actions run.
     """
+    import time as _time
+
+    t0 = _time.time()
     sig = signatures if signatures is not None else add_signatures(images, cfg)
     sig = sig.persist()
     valid = sig.where(F.col("minhash").isNotNull())
     n_valid = valid.count()
+    if profile is not None:
+        profile["signatures"] = round(_time.time() - t0, 3)
     null_rows = sig.where(F.col("minhash").isNull()).select(
         "image_id", F.lit("empty_shingle_set").alias("reason")
     )
@@ -356,15 +367,24 @@ def clusterbreak_spark(
             n_rows_hint=n_valid,
         )
     prs = prs.persist()
+    if profile is not None:
+        t0 = _time.time()
+        prs.count()
+        profile["pairs"] = round(_time.time() - t0, 3)
     if zero_quantile:
         thr = cfg.min_edge_sim
     else:
         thr = max(quantile_threshold(prs, n_valid, cfg.thresh_p), cfg.min_edge_sim)
     edges = threshold_edges(prs, thr)
 
+    t0 = _time.time()
     comp, cc_rounds = connected_components(edges)
     comp = comp.persist()
+    if profile is not None:
+        comp.count()
+        profile["components"] = round(_time.time() - t0, 3)
 
+    t0 = _time.time()
     # global Louvain mass: 2*(sum of kept edge weights) + the sim=1 self-loop
     # of every row in the reference's adjacency matrix (quirk Q6)
     wsum = edges.agg(F.sum("sim")).first()[0] or 0.0
@@ -378,6 +398,8 @@ def clusterbreak_spark(
     # per-round fixed cost (sizes agg, isEmpty probes, localCheckpoints) is
     # pure serial latency that caps scaling efficiency on clean corpora
     max_comp = comp.groupBy("component").count().agg(F.max("count")).first()[0] or 0
+    if profile is not None:
+        profile["aggs"] = round(_time.time() - t0, 3)
     if max_comp <= local_max:
         small, d_rounds = groups0, 0
         spark_ = prs.sparkSession

@@ -1,0 +1,126 @@
+"""Exact NW alignment tier (operators/align.py) — reference similarityNW
+(src/pairwiseSeqAlign.cpp:331-365): golden cases, invariants, Spark parity."""
+
+import numpy as np
+import pytest
+
+from dynaalign_spark.operators.align import (
+    get_substitution_matrix,
+    nw_pair_stats,
+)
+
+IDENT = get_substitution_matrix("IDENTITY")
+B62 = get_substitution_matrix("BLOSUM62")
+
+
+class TestKernel:
+    def test_exact_match(self):
+        m, ln, sc = nw_pair_stats("ABC", "ABC", IDENT)
+        assert (m, ln, sc) == (3, 3, 3)
+
+    def test_single_mismatch(self):
+        m, ln, sc = nw_pair_stats("ABC", "ABD", IDENT)
+        assert (m, ln) == (2, 3)
+        assert sc == 1  # +1 +1 -1, no gap beats open cost 14
+        assert m / ln == pytest.approx(2 / 3)
+
+    def test_contiguous_gap_preferred(self):
+        # ABCDEF vs ABEF: one gap run of 2 -> 4 matches, 6 columns,
+        # score = 4 - (10+4) - 4 = -14 (two separate runs would cost 28)
+        m, ln, sc = nw_pair_stats("ABCDEF", "ABEF", IDENT)
+        assert (m, ln, sc) == (4, 6, -14)
+
+    def test_empty_sides(self):
+        assert nw_pair_stats("", "AB", IDENT)[:2] == (0, 2)
+        assert nw_pair_stats("AB", "", IDENT)[:2] == (0, 2)
+        assert nw_pair_stats("", "", IDENT) == (0, 0, 0)
+
+    def test_blosum62_diag_and_symmetry(self):
+        # published values: W/W=11, C/C=9, A/A=4, W/C=-2, unknown->X row
+        assert B62[ord("W"), ord("W")] == 11
+        assert B62[ord("C"), ord("C")] == 9
+        assert B62[ord("A"), ord("A")] == 4
+        assert B62[ord("W"), ord("C")] == -2
+        assert B62[ord("!"), ord("A")] == B62[ord("X"), ord("A")]
+        assert np.array_equal(B62, B62.T)
+
+    def test_self_similarity_one(self):
+        rng = np.random.default_rng(7)
+        aas = "ARNDCQEGHILKMFPSTWYV"
+        for _ in range(10):
+            s = "".join(rng.choice(list(aas), size=rng.integers(1, 40)))
+            m, ln, _ = nw_pair_stats(s, s, B62)
+            assert m == ln == len(s)
+
+    def test_symmetry_and_bounds(self):
+        rng = np.random.default_rng(11)
+        aas = "ARNDCQEGHILKMFPSTWYV"
+        for _ in range(10):
+            a = "".join(rng.choice(list(aas), size=rng.integers(1, 30)))
+            b = "".join(rng.choice(list(aas), size=rng.integers(1, 30)))
+            ma, la, sa = nw_pair_stats(a, b, B62)
+            mb, lb, sb = nw_pair_stats(b, a, B62)
+            assert sa == sb            # score is symmetric
+            assert 0 <= ma <= la
+            assert max(len(a), len(b)) <= la <= len(a) + len(b)
+            assert 0.0 <= ma / la <= 1.0
+
+    def test_score_vs_bruteforce_small(self):
+        # exhaustive check of the DP score against a slow unvectorized
+        # reference DP on short strings
+        def slow(a, b, sub, o=10, e=4):
+            n, m = len(a), len(b)
+            NEG = -(10**9)
+            M = [[NEG] * (m + 1) for _ in range(n + 1)]
+            Ix = [[NEG] * (m + 1) for _ in range(n + 1)]
+            Iy = [[NEG] * (m + 1) for _ in range(n + 1)]
+            M[0][0] = 0
+            for i in range(1, n + 1):
+                Ix[i][0] = -o - i * e
+            for j in range(1, m + 1):
+                Iy[0][j] = -o - j * e
+            for i in range(1, n + 1):
+                for j in range(1, m + 1):
+                    s = int(sub[ord(a[i - 1]), ord(b[j - 1])])
+                    M[i][j] = s + max(M[i-1][j-1], Ix[i-1][j-1], Iy[i-1][j-1])
+                    Ix[i][j] = max(M[i-1][j] - (o + e), Ix[i-1][j] - e)
+                    Iy[i][j] = max(M[i][j-1] - (o + e), Iy[i][j-1] - e)
+            return max(M[n][m], Ix[n][m], Iy[n][m])
+
+        rng = np.random.default_rng(3)
+        chars = "ABCD"
+        for _ in range(25):
+            a = "".join(rng.choice(list(chars), size=rng.integers(1, 9)))
+            b = "".join(rng.choice(list(chars), size=rng.integers(1, 9)))
+            assert nw_pair_stats(a, b, IDENT)[2] == slow(a, b, IDENT)
+
+
+@pytest.mark.usefixtures("spark")
+class TestSpark:
+    def test_similarity_nw_matches_kernel(self, spark):
+        from dynaalign_spark.operators.align import similarity_nw
+
+        rows = [("d1", "HEAGAWGHEE"), ("d2", "PAWHEAE"), ("d3", "HEAGAWGHEE"),
+                ("d4", "AW")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {(r["a"], r["b"]): r["nw_sim"]
+               for r in similarity_nw(df, matrix_name="BLOSUM62").collect()}
+        assert len(got) == 6  # all i<j pairs
+        texts = dict(rows)
+        for (a, b), sim in got.items():
+            m, ln, _ = nw_pair_stats(texts[a], texts[b], B62)
+            assert sim == pytest.approx(m / ln)
+        assert got[("d1", "d3")] == pytest.approx(1.0)
+
+    def test_nw_verified_pairs_join(self, spark):
+        from dynaalign_spark.operators.align import nw_verified_pairs
+
+        docs = spark.createDataFrame(
+            [("a", "HELLO WORLD"), ("b", "HELLO WORLD"), ("c", "XYZ")],
+            ["doc_id", "text"],
+        )
+        pairs = spark.createDataFrame([("a", "b"), ("a", "c")], ["a", "b"])
+        out = {(r["a"], r["b"]): r["nw_sim"]
+               for r in nw_verified_pairs(docs, pairs).collect()}
+        assert out[("a", "b")] == pytest.approx(1.0)
+        assert out[("a", "c")] < 0.3
