@@ -28,7 +28,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_data")
 IMAGES_N_CLUSTERS = 1200      # ~8.6k rows: the per-round bench table
-SCALING_N_ROWS = 6_400_000    # the two-cluster-size scaling table (sized so
+SCALING_N_ROWS = int(os.environ.get("DYNA_SCALE_ROWS", "6400000"))
+                              # the two-cluster-size scaling table (sized so
                               # per-core work dominates fixed driver overhead
                               # at local[8] vs local[32] — the efficiency
                               # denominator is honest parallel work)
@@ -148,19 +149,23 @@ def _worker_dedup(cpus: int) -> None:
     from dynaalign_spark.operators.clusterbreak import clusterbreak_spark
     from dynaalign_spark.session import get_spark
 
+    parts = int(os.environ.get("DYNA_SHUFFLE_PARTS", str(cpus)))
     spark = get_spark(app=f"dedup-scale-{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=cpus)
+                      shuffle_partitions=parts, extra=_env_extra(),
+                      input_bytes_hint=_scaling_input_bytes())
     spark.sparkContext.setLogLevel("ERROR")
     path = scaling_parquet(spark)
     images = spark.read.parquet(path)
     n = images.count()
+    # verify-join strategy A/B knob (BENCH.md): override sig_broadcast_max
+    cfg = SCALE.with_(size_max=50, size_min=1)
+    if os.environ.get("DYNA_SIG_BCAST_MAX"):
+        cfg = cfg.with_(sig_broadcast_max=int(os.environ["DYNA_SIG_BCAST_MAX"]))
     # warm the JVM (JIT), the Python UDF worker pool, and the parquet cache
     # with a miniature end-to-end run, so the timed run measures steady-state
     # throughput — the same warmup at both parallelism levels (what a real
     # long-lived cluster job sees after its first minutes)
-    warm = clusterbreak_spark(
-        images.limit(20_000), SCALE.with_(size_max=50, size_min=1)
-    )
+    warm = clusterbreak_spark(images.limit(20_000), cfg)
     warm["clusters"].count()
     warm["signatures"].unpersist()
     warm["pairs"].unpersist()
@@ -172,7 +177,7 @@ def _worker_dedup(cpus: int) -> None:
     n_out = 0
     for _ in range(2):
         t0 = time.time()
-        res = clusterbreak_spark(images, SCALE.with_(size_max=50, size_min=1))
+        res = clusterbreak_spark(images, cfg)
         n_out = res["clusters"].count()
         reps.append(time.time() - t0)
         for key in ("signatures", "pairs", "components"):
@@ -184,6 +189,32 @@ def _worker_dedup(cpus: int) -> None:
     spark.stop()
 
 
+def _scaling_input_bytes() -> int | None:
+    """On-disk size of the (pre-generated) scaling parquet — the
+    input_bytes_hint that sizes scan splits / AQE advisory per core count."""
+    path = os.path.join(CACHE_DIR, f"images_dist_{SCALING_N_ROWS}_s{IMAGES_SEED}.parquet")
+    if not os.path.isdir(path):
+        return None
+    return sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+
+
+def _env_extra() -> dict:
+    """DYNA_CONF='k=v;k=v' -> extra Spark conf (A/B knobs for BENCH.md);
+    DYNA_GC -> driver JVM options."""
+    extra = {}
+    for kv in os.environ.get("DYNA_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            extra[k.strip()] = v.strip()
+    if os.environ.get("DYNA_GC"):
+        extra["spark.driver.extraJavaOptions"] = os.environ["DYNA_GC"]
+    return extra
+
+
 def _worker_profile(cpus: int) -> None:
     """Like --worker but one timed rep with per-stage wall times (profile
     dict) — the scaling-efficiency decomposition. Run under taskset."""
@@ -192,21 +223,25 @@ def _worker_profile(cpus: int) -> None:
     from dynaalign_spark.session import get_spark
 
     spark = get_spark(app=f"dedup-profile-{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=cpus)
+                      shuffle_partitions=cpus, extra=_env_extra())
     spark.sparkContext.setLogLevel("ERROR")
     images = spark.read.parquet(scaling_parquet(spark))
     warm = clusterbreak_spark(images.limit(20_000), SCALE.with_(size_max=50, size_min=1))
     warm["clusters"].count()
     for key in ("signatures", "pairs", "components"):
         warm[key].unpersist()
-    prof: dict = {}
-    t0 = time.time()
-    res = clusterbreak_spark(images, SCALE.with_(size_max=50, size_min=1), profile=prof)
-    tr = time.time()
-    res["clusters"].count()
-    prof["refine"] = round(time.time() - tr, 3)
-    prof["total"] = round(time.time() - t0, 3)
-    print(json.dumps({"cpus": cpus, "profile": prof}))
+    for rep in range(2):
+        prof: dict = {}
+        t0 = time.time()
+        res = clusterbreak_spark(images, SCALE.with_(size_max=50, size_min=1),
+                                 profile=prof)
+        tr = time.time()
+        res["clusters"].count()
+        prof["refine"] = round(time.time() - tr, 3)
+        prof["total"] = round(time.time() - t0, 3)
+        print(json.dumps({"cpus": cpus, "rep": rep, "profile": prof}), flush=True)
+        for key in ("signatures", "pairs", "components"):
+            res[key].unpersist()
     spark.stop()
 
 

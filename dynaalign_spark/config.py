@@ -97,6 +97,11 @@ class DedupConfig:
     # floor cuts noise-level agreements (j ~ 1-2/n_hash) before CC.
     min_edge_sim: float = 0.0
 
+    # r=1 only: derive pair agreement from the band-collision count
+    # (sim = #colliding bands / n_hash — exact, see lsh.candidate_pairs)
+    # instead of re-fetching signatures through a broadcast/shuffle join.
+    count_agreement: bool = True
+
     def __post_init__(self):
         if not self.seeds:
             table = _load_seed_table()

@@ -431,6 +431,11 @@ def clusterbreak_spark(
         .groupBy("bucket")
         .applyInPandas(refine, ASSIGN_SCHEMA)
     )
+    if profile is not None:
+        t0 = _time.time()
+        assigned = assigned.persist()
+        assigned.count()
+        profile["louvain"] = round(_time.time() - t0, 3)
 
     clusters = assigned.where(F.col("status").startswith("emitted")).select(
         "image_id", "cluster_id"

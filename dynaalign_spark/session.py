@@ -7,16 +7,38 @@ import os
 from pyspark.sql import SparkSession
 
 
+def scaled_split_sizes(input_bytes: int, cores: int) -> tuple[int, int]:
+    """(maxPartitionBytes, advisoryPartitionSizeInBytes) sized so the input
+    fans out to >= ~3 scan tasks per core and post-shuffle coalescing keeps
+    at least core-level parallelism, clamped to the standard production
+    sizes (a 100 TB input on any realistic cluster still gets 128 MB / 64 MB;
+    the clamp only engages when the input is small relative to the cores —
+    exactly the local-bench regime, where 64 MB advisory coalesces a
+    compute-heavy applyInPandas stage down to a handful of partitions and
+    caps its parallelism; measured in BENCH.md)."""
+    scan = max(4 << 20, min(128 << 20, input_bytes // (3 * cores) or (4 << 20)))
+    adv = max(1 << 20, min(64 << 20, input_bytes // (4 * cores) or (1 << 20)))
+    return scan, adv
+
+
 def get_spark(
     app: str = "dynaalign-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra: dict | None = None,
+    input_bytes_hint: int | None = None,
 ) -> SparkSession:
     master = master or os.environ.get("SPARK_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]")
     if shuffle_partitions is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         shuffle_partitions = int(cpus) if cpus and cpus.isdigit() else 32
+    if input_bytes_hint:
+        scan_b, adv_b = scaled_split_sizes(input_bytes_hint, shuffle_partitions)
+        extra = {
+            "spark.sql.files.maxPartitionBytes": str(scan_b),
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(adv_b),
+            **(extra or {}),
+        }
     b = (
         SparkSession.builder.appName(app)
         .master(master)

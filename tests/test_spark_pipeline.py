@@ -200,3 +200,20 @@ def test_edge_case_allunique(spark):
     clusters = {r["image_id"]: r["cluster_id"] for r in res["clusters"].collect()}
     assert oracle.pair_recall(out, clusters) >= 0.99
     assert oracle.pair_recall(clusters, out) >= 0.99
+
+
+def test_candidate_pairs_capped_branch_exact_sims(spark, images, fixture_rows):
+    """Hybrid count-agreement (r=1): pairs touched by a capped hot band go
+    through the exact verify join — every emitted sim must still equal the
+    oracle's signature agreement exactly, even with a pathologically tiny
+    band_group_cap forcing nearly all bands through the chain path."""
+    rows, _ = fixture_rows
+    cfg = CFG.with_(band_group_cap=2, chain_width=2)
+    sig = add_signatures(images, cfg)
+    got = {(r["a"], r["b"]): r["sim"] for r in candidate_pairs(sig, cfg).collect()}
+    assert got, "chain pairing must still emit pairs"
+    sim = oracle.similarity_mh([r["caption"] for r in rows], CFG.k, CFG.seeds)
+    ids = [r["image_id"] for r in rows]
+    idx = {v: i for i, v in enumerate(ids)}
+    for (a, b), v in got.items():
+        assert abs(v - sim[idx[a], idx[b]]) < 1e-12
