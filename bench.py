@@ -161,6 +161,8 @@ def _worker_dedup(cpus: int) -> None:
     cfg = SCALE.with_(size_max=50, size_min=1)
     if os.environ.get("DYNA_SIG_BCAST_MAX"):
         cfg = cfg.with_(sig_broadcast_max=int(os.environ["DYNA_SIG_BCAST_MAX"]))
+    if os.environ.get("DYNA_STORAGE"):
+        cfg = cfg.with_(cache_storage=os.environ["DYNA_STORAGE"])
     # warm the JVM (JIT), the Python UDF worker pool, and the parquet cache
     # with a miniature end-to-end run, so the timed run measures steady-state
     # throughput — the same warmup at both parallelism levels (what a real

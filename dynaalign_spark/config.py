@@ -97,6 +97,15 @@ class DedupConfig:
     # floor cuts noise-level agreements (j ~ 1-2/n_hash) before CC.
     min_edge_sim: float = 0.0
 
+    # StorageLevel name for the pipeline's stage caches (signatures, pairs,
+    # components). MEMORY_AND_DISK (deserialized, on-heap) is the Spark
+    # default; DISK_ONLY with spark.local.dirs on tmpfs keeps the cached
+    # stages in RAM but *outside* the JVM heap, so the GC never scans them —
+    # in the shared local-mode heap that cache-induced GC is a serial cost
+    # coupling the stages (BENCH.md scaling analysis); on a cluster the
+    # off-heap analog is MEMORY_AND_DISK_SER / executor off-heap memory.
+    cache_storage: str = "MEMORY_AND_DISK"
+
     # r=1 only: derive pair agreement from the band-collision count
     # (sim = #colliding bands / n_hash — exact, see lsh.candidate_pairs)
     # instead of re-fetching signatures through a broadcast/shuffle join.

@@ -334,9 +334,12 @@ def clusterbreak_spark(
     """
     import time as _time
 
+    from pyspark import StorageLevel
+
+    cache_lvl = getattr(StorageLevel, cfg.cache_storage)
     t0 = _time.time()
     sig = signatures if signatures is not None else add_signatures(images, cfg)
-    sig = sig.persist()
+    sig = sig.persist(cache_lvl)
     valid = sig.where(F.col("minhash").isNotNull())
     n_valid = valid.count()
     if profile is not None:
@@ -366,7 +369,7 @@ def clusterbreak_spark(
             sim_floor=cfg.min_edge_sim if zero_quantile else 0.0,
             n_rows_hint=n_valid,
         )
-    prs = prs.persist()
+    prs = prs.persist(cache_lvl)
     if profile is not None:
         t0 = _time.time()
         prs.count()
@@ -379,7 +382,7 @@ def clusterbreak_spark(
 
     t0 = _time.time()
     comp, cc_rounds = connected_components(edges)
-    comp = comp.persist()
+    comp = comp.persist(cache_lvl)
     if profile is not None:
         comp.count()
         profile["components"] = round(_time.time() - t0, 3)
@@ -416,6 +419,18 @@ def clusterbreak_spark(
         .groupBy("component")
         .agg(F.sum("sim").alias("w_capped"))
     ).withColumnRenamed("component", "group_id")
+    if max_comp <= local_max:
+        # fast path took no further reader of `prs`: materialize comp_w (its
+        # last consumer) now and release the pair cache before the
+        # Python-heavy refine stage. In the shared local-mode heap the ~GBs
+        # of cached pairs otherwise sit in the old gen through the whole
+        # applyInPandas stage, and the GC pressure they add is a *serial*
+        # cost that couples stages and caps N-vs-4N scaling (BENCH.md); on a
+        # real cluster this is executor-local storage memory with the same
+        # benefit from early release.
+        comp_w = comp_w.persist(cache_lvl)
+        comp_w.count()
+        prs.unpersist()
     grouped = (
         small.join(valid, "image_id")
         .join(comp_w, "group_id", "left")
