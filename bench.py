@@ -275,7 +275,22 @@ def run_scaling() -> dict:
     )
     import shutil
 
+    def substrate_eff() -> dict:
+        """Same-time-window hypervisor calibration: pure in-L1 ALU work at 8
+        vs 32 pinned processes (scripts/membw.py probe). This sandbox VM does
+        not deliver 4x the compute from 8->32 vCPUs even for perfect code
+        (measured 3.0-3.5x, varying by the minute with host contention), so
+        the raw pipeline ratio is reported alongside this ceiling and the
+        substrate-normalized efficiency."""
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from membw import measure_alu
+
+        a8, a32 = measure_alu(8), measure_alu(32)
+        return {"alu_8": round(a8), "alu_32": round(a32),
+                "eff": round(a32 / (4.0 * a8), 3)}
+
     out = {}
+    sub = {"before": substrate_eff()}
     for cpus in (8, 32):
         cmd = [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)]
         if shutil.which("taskset") and (os.cpu_count() or 0) >= cpus:
@@ -286,11 +301,16 @@ def run_scaling() -> dict:
         )
         line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
         out[cpus] = json.loads(line)
+    sub["after"] = substrate_eff()
     eff = out[32]["images_per_sec"] / (4.0 * out[8]["images_per_sec"])
+    ceiling = (sub["before"]["eff"] + sub["after"]["eff"]) / 2.0
     return {
         "metric": "scaling_efficiency_8_to_32",
         "value": round(eff, 3),
         "unit": "ratio",
+        "substrate_alu": sub,
+        "substrate_ceiling": round(ceiling, 3),
+        "normalized_value": round(eff / ceiling, 3) if ceiling else None,
         "n8": out[8],
         "n32": out[32],
     }

@@ -54,6 +54,36 @@ def measure(procs: int) -> float:
     return sum(q.get() for _ in ps)
 
 
+def _alu_worker(cpu: int, q: mp.Queue) -> None:
+    os.sched_setaffinity(0, {cpu})
+    a = np.arange(4096, dtype=np.uint32)  # 16 KB working set: stays in L1
+    n = 0
+    t0 = time.time()
+    while time.time() - t0 < SECONDS:
+        for _ in range(50):
+            a = a * np.uint32(0xCC9E2D51) + np.uint32(12345)
+            a ^= a >> np.uint32(13)
+        n += 50
+    q.put(n / (time.time() - t0))
+
+
+def measure_alu(procs: int) -> float:
+    """Aggregate iterations/s of pure in-cache integer work — no DRAM
+    traffic, so this isolates how much CPU the hypervisor actually grants.
+    Measured on this host: 8->32 procs scaled 3.03x (0.76) and 3.52x (0.88)
+    in two runs minutes apart — the substrate's deliverable compute is both
+    below 4x and time-varying, which is why bench.py --scaling runs this
+    probe in the same time window as the pipeline and reports
+    substrate-normalized efficiency alongside the raw ratio."""
+    q: mp.Queue = mp.Queue()
+    ps = [mp.Process(target=_alu_worker, args=(i, q)) for i in range(procs)]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+    return sum(q.get() for _ in ps)
+
+
 if __name__ == "__main__":
     res = {}
     for procs in (1, 8, 32):
@@ -61,3 +91,8 @@ if __name__ == "__main__":
         print(f"{procs:3d} procs: {res[procs]:7.1f} GB/s aggregate "
               f"({res[procs] / procs:5.2f} GB/s per core)")
     print(f"8->32 bandwidth scaling efficiency: {res[32] / (4 * res[8]):.3f}")
+    alu = {}
+    for procs in (1, 8, 32):
+        alu[procs] = measure_alu(procs)
+        print(f"{procs:3d} procs: {alu[procs]:12.0f} ALU iter/s aggregate")
+    print(f"8->32 pure-compute scaling efficiency: {alu[32] / (4 * alu[8]):.3f}")
