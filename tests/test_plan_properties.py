@@ -1,0 +1,86 @@
+"""Physical-plan property tests — CI guards for the scan/join shapes the
+100 TB design depends on (BENCH.md "Plan audit"). These assert on
+`explain("formatted")` output, so a refactor that silently widens a scan or
+drops a broadcast fails here, not at scale.
+
+At 10^12 rows the difference between scanning (image_id, caption, phash)
+and scanning the whole row (with `bytes`) is the difference between reading
+captions and reading the entire corpus — column pruning into the parquet
+scan is the single most important plan property of the caption tier
+(SURVEY.md §4 "What Catalyst gives us for free").
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynaalign_spark.config import PARITY
+from dynaalign_spark.fixtures import images_df, make_images
+from dynaalign_spark.operators.lsh import candidate_pairs
+from dynaalign_spark.operators.signatures import add_signatures
+
+
+@pytest.fixture(scope="module")
+def images_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plan") / "images.parquet")
+    rows, _ = make_images(n_clusters=10, seed=7)
+    images_df(spark, rows).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_signature_scan_prunes_bytes(spark, images_parquet):
+    """The caption-tier scan must never read the `bytes` column."""
+    images = spark.read.parquet(images_parquet)
+    plan = _formatted_plan(add_signatures(images, PARITY))
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines, "no parquet scan in plan"
+    for ln in scan_lines:
+        assert "bytes" not in ln, f"bytes column not pruned: {ln}"
+        assert "caption" in ln
+
+
+def test_filter_pushdown_reaches_scan(spark, images_parquet):
+    """A predicate on a scanned column must appear in PushedFilters."""
+    images = spark.read.parquet(images_parquet)
+    q = images.where(F.col("fmt") == "ppm").select("image_id", "caption")
+    plan = _formatted_plan(q)
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("fmt" in ln for ln in pushed), pushed
+
+
+def test_verify_join_broadcasts_below_cutoff(spark, images_parquet):
+    """Below sig_broadcast_max the signature verify join must be a broadcast
+    hash join sharing ONE broadcast relation between the a-side and b-side
+    fetches (ReusedExchange) — the strategy BENCH.md measured fastest."""
+    images = spark.read.parquet(images_parquet)
+    cfg = PARITY.with_(rows_per_band=2, bands=PARITY.n_hash // 2)
+    sig = add_signatures(images, cfg)
+    prs = candidate_pairs(sig, cfg, n_rows_hint=100)
+    plan = _formatted_plan(prs)
+    assert "BroadcastHashJoin" in plan
+    assert "ReusedExchange" in plan
+
+
+def test_verify_join_shuffles_above_cutoff(spark, images_parquet):
+    """Above the cutoff no driver-side broadcast relation of signatures may
+    be built (the serial O(n) build is the scale hazard)."""
+    images = spark.read.parquet(images_parquet)
+    cfg = PARITY.with_(
+        rows_per_band=2, bands=PARITY.n_hash // 2, sig_broadcast_max=10
+    )
+    sig = add_signatures(images, cfg)
+    prs = candidate_pairs(sig, cfg, n_rows_hint=1000)
+    plan = _formatted_plan(prs)
+    # AQE may still pick a broadcast at tiny test scale from runtime stats;
+    # what must NOT happen is the static planner seeing our explicit
+    # broadcast hint. Check the hint is absent from the analyzed plan.
+    analyzed = str(prs._jdf.queryExecution().analyzed())
+    assert "ResolvedHint" not in analyzed
