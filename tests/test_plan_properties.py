@@ -64,6 +64,11 @@ def test_verify_join_broadcasts_below_cutoff(spark, images_parquet):
     cfg = PARITY.with_(rows_per_band=2, bands=PARITY.n_hash // 2)
     sig = add_signatures(images, cfg)
     prs = candidate_pairs(sig, cfg, n_rows_hint=100)
+    # Under AQE the pre-execution plan prints isFinalPlan=false and exchange
+    # reuse is not yet materialized — execute THIS dataframe (collect, not
+    # count: count() wraps the plan in a new QueryExecution) so its adaptive
+    # plan finalizes, then assert on it (VERDICT r01 "What's wrong" #1).
+    prs.collect()
     plan = _formatted_plan(prs)
     assert "BroadcastHashJoin" in plan
     assert "ReusedExchange" in plan

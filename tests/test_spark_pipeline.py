@@ -217,3 +217,29 @@ def test_candidate_pairs_capped_branch_exact_sims(spark, images, fixture_rows):
     idx = {v: i for i, v in enumerate(ids)}
     for (a, b), v in got.items():
         assert abs(v - sim[idx[a], idx[b]]) < 1e-12
+
+
+def test_short_caption_uint32_signatures_survive_ansi(spark):
+    """Regression (ADVICE r01, high): a short caption has few shingles, so
+    min-over-few-hashes leaves signature components above INT_MAX; the verify
+    join's 32-bit narrowing must be the shifted bijection, not a bare
+    cast("array<int>") — which throws CAST_OVERFLOW under Spark 4 ANSI mode.
+    Exercises BOTH crash sites: r=2 scale mode (always joins signatures) and
+    r=1 count-agreement with a tiny cap (routes pairs to the verify join)."""
+    rows = [
+        dict(image_id=f"h{i}", bytes=bytearray(b"\x00"), w=1, h=1,
+             fmt="ppm", caption="hello", phash=0)
+        for i in range(4)
+    ]
+    df = images_df(spark, rows)
+    # sanity: the fixture really does produce >INT_MAX components
+    comps = add_signatures(df, CFG).select(F.explode("minhash").alias("v"))
+    assert comps.where(F.col("v") > 2**31 - 1).count() > 0
+
+    scale = CFG.with_(rows_per_band=2, bands=CFG.n_hash // 2)
+    got = candidate_pairs(add_signatures(df, scale), scale).collect()
+    assert all(abs(r["sim"] - 1.0) < 1e-12 for r in got) and len(got) == 6
+
+    capped = CFG.with_(band_group_cap=2, chain_width=3)
+    got = candidate_pairs(add_signatures(df, capped), capped).collect()
+    assert got and all(abs(r["sim"] - 1.0) < 1e-12 for r in got)
