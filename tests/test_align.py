@@ -24,11 +24,15 @@ class TestKernel:
         assert sc == 1  # +1 +1 -1, no gap beats open cost 14
         assert m / ln == pytest.approx(2 / 3)
 
-    def test_contiguous_gap_preferred(self):
-        # ABCDEF vs ABEF: one gap run of 2 -> 4 matches, 6 columns,
-        # score = 4 - (10+4) - 4 = -14 (two separate runs would cost 28)
+    def test_contiguous_gap_score_and_greedy_traceback(self):
+        # ABCDEF vs ABEF: optimal score takes one gap run of 2
+        # (score = 4 - (10+4) - 4 = -14; two separate runs would cost 28).
+        # The MATCH COUNT, however, is 2, not 4: the reference's traceback is
+        # a per-cell greedy move matrix (src/pairwiseSeqAlign.cpp:283-313)
+        # that here walks UUDDDD (leading gaps, then CDEF vs ABEF diagonal) —
+        # a reference quirk we reproduce exactly (ADVICE r01 medium).
         m, ln, sc = nw_pair_stats("ABCDEF", "ABEF", IDENT)
-        assert (m, ln, sc) == (4, 6, -14)
+        assert (m, ln, sc) == (2, 6, -14)
 
     def test_empty_sides(self):
         assert nw_pair_stats("", "AB", IDENT)[:2] == (0, 2)
@@ -65,34 +69,86 @@ class TestKernel:
             assert max(len(a), len(b)) <= la <= len(a) + len(b)
             assert 0.0 <= ma / la <= 1.0
 
-    def test_score_vs_bruteforce_small(self):
-        # exhaustive check of the DP score against a slow unvectorized
-        # reference DP on short strings
+    def test_full_stats_vs_reference_transliteration(self):
+        # (matches, length, score) against a slow per-cell DP written
+        # directly from the reference's semantics (src/pairwiseSeqAlign.cpp:
+        # 209-313): M overwritten with max(M, Ix, Iy) during the fill,
+        # boundary Ix[i][0] = -o-(i-1)e, and a positional traceback matrix —
+        # the exact behaviors ADVICE r01 flagged as divergent.
         def slow(a, b, sub, o=10, e=4):
             n, m = len(a), len(b)
-            NEG = -(10**9)
+            NEG = -(10**15)
             M = [[NEG] * (m + 1) for _ in range(n + 1)]
             Ix = [[NEG] * (m + 1) for _ in range(n + 1)]
             Iy = [[NEG] * (m + 1) for _ in range(n + 1)]
+            tb = [["0"] * (m + 1) for _ in range(n + 1)]
             M[0][0] = 0
             for i in range(1, n + 1):
-                Ix[i][0] = -o - i * e
+                Ix[i][0] = -o - (i - 1) * e
+                tb[i][0] = "U"
             for j in range(1, m + 1):
-                Iy[0][j] = -o - j * e
+                Iy[0][j] = -o - (j - 1) * e
+                tb[0][j] = "L"
             for i in range(1, n + 1):
                 for j in range(1, m + 1):
                     s = int(sub[ord(a[i - 1]), ord(b[j - 1])])
-                    M[i][j] = s + max(M[i-1][j-1], Ix[i-1][j-1], Iy[i-1][j-1])
                     Ix[i][j] = max(M[i-1][j] - (o + e), Ix[i-1][j] - e)
                     Iy[i][j] = max(M[i][j-1] - (o + e), Iy[i][j-1] - e)
-            return max(M[n][m], Ix[n][m], Iy[n][m])
+                    M[i][j] = s + max(M[i-1][j-1], Ix[i-1][j-1], Iy[i-1][j-1])
+                    if M[i][j] >= Ix[i][j] and M[i][j] >= Iy[i][j]:
+                        tb[i][j] = "D"
+                    elif Ix[i][j] >= Iy[i][j]:
+                        M[i][j] = Ix[i][j]
+                        tb[i][j] = "U"
+                    else:
+                        M[i][j] = Iy[i][j]
+                        tb[i][j] = "L"
+            i, j, matches, length = n, m, 0, 0
+            while i > 0 or j > 0:
+                t = tb[i][j]
+                if t == "D":
+                    if a[i - 1] == b[j - 1]:
+                        matches += 1
+                    i, j = i - 1, j - 1
+                elif t == "U":
+                    i -= 1
+                else:
+                    j -= 1
+                length += 1
+            return matches, length, M[n][m]
 
         rng = np.random.default_rng(3)
-        chars = "ABCD"
-        for _ in range(25):
-            a = "".join(rng.choice(list(chars), size=rng.integers(1, 9)))
-            b = "".join(rng.choice(list(chars), size=rng.integers(1, 9)))
-            assert nw_pair_stats(a, b, IDENT)[2] == slow(a, b, IDENT)
+        for sub, chars in [(IDENT, "ABCD"), (B62, "ARNDCQEGWYV")]:
+            for _ in range(60):
+                a = "".join(rng.choice(list(chars), size=rng.integers(1, 12)))
+                b = "".join(rng.choice(list(chars), size=rng.integers(1, 12)))
+                assert nw_pair_stats(a, b, sub) == slow(a, b, sub), (a, b)
+
+    def test_boundary_gap_first_char_pays_open_only(self):
+        # reference boundary (cpp:226): leading/trailing gap run of g chars
+        # costs o + (g-1)e, NOT o + g*e — 'AB' vs 'CAB' aligns with one
+        # leading gap: score = -10 + 1 + 1 = -8 under IDENTITY
+        m, ln, sc = nw_pair_stats("AB", "CAB", IDENT)
+        assert (m, ln, sc) == (2, 3, -8)
+
+    @pytest.mark.parametrize(
+        "name,ww",
+        [("BLOSUM45", 15), ("BLOSUM50", 15), ("BLOSUM62", 11),
+         ("BLOSUM80", 16), ("BLOSUM90", 11), ("BLOSUM100", 17)],
+    )
+    def test_all_blosum_variants(self, name, ww):
+        # reference getSubstitutionMatrix dispatches six tables
+        # (src/pairwiseSeqAlign.cpp:190-206); W/W diag pins each variant
+        t = get_substitution_matrix(name)
+        assert t[ord("W"), ord("W")] == ww
+        assert np.array_equal(t, t.T)
+        s = "HEAGAWGHEE"
+        m, ln, _ = nw_pair_stats(s, s, t)
+        assert m == ln == len(s)
+
+    def test_unknown_matrix_raises(self):
+        with pytest.raises(ValueError):
+            get_substitution_matrix("BLOSUM999")
 
 
 @pytest.mark.usefixtures("spark")
