@@ -41,7 +41,12 @@ from ..oracle import quantile_type7
 from .components import connected_components
 from .lsh import candidate_pairs
 from .signatures import add_signatures
-from .threshold import grouped_quantile_threshold, quantile_threshold, threshold_edges
+from .threshold import (
+    grouped_quantile_threshold,
+    quantile_threshold,
+    threshold_edges,
+    zero_quantile_certain,
+)
 
 ASSIGN_SCHEMA = "image_id string, cluster_id string, status string"
 
@@ -360,7 +365,7 @@ def clusterbreak_spark(
     # composition (R quantile semantics preserved verbatim below the cutoff).
     total = n_valid * (n_valid - 1) // 2
     m_ub = cfg.bands * n_valid * max((cfg.band_group_cap - 1) / 2, cfg.chain_width)
-    zero_quantile = total > 0 and (total - 1) * cfg.thresh_p < total - m_ub
+    zero_quantile = zero_quantile_certain(total, m_ub, cfg.thresh_p)
     if pairs is not None:
         prs = pairs
     else:
@@ -409,9 +414,35 @@ def clusterbreak_spark(
         solo_distr = spark_.createDataFrame([], "image_id string, lvl int")
         unbroken = spark_.createDataFrame([], "group_id string, image_id string")
     else:
+        prs_db = prs
+        prs_db_persisted = False
+        if pairs is None and zero_quantile and cfg.min_edge_sim > 0.0:
+            # The pushed floor stripped 0 < sim < floor pairs from prs, but
+            # the reference recursion re-quantiles each oversized subset's
+            # FULL sim distribution (R/clusterbreak.R:246-254) — treating the
+            # dropped pairs as exact zeros would bias deep-level thresholds
+            # low (ADVICE r01). Recompute unfloored pairs for just the
+            # oversized components' members (a small slice of the corpus on
+            # non-degenerate data; this path only runs when a component
+            # exceeds local_max).
+            big_ids = comp.join(
+                comp.groupBy("component")
+                .count()
+                .where(F.col("count") > local_max)
+                .select("component"),
+                "component",
+            ).select("image_id")
+            sig_big = valid.join(big_ids, "image_id")
+            n_big = sig_big.count()
+            prs_db = candidate_pairs(
+                sig_big, cfg, sim_floor=0.0, n_rows_hint=n_big
+            ).persist(cache_lvl)
+            prs_db_persisted = True
         small, solo_distr, unbroken, d_rounds = _distributed_break(
-            prs, groups0, cfg, local_max, max_distributed_rounds
+            prs_db, groups0, cfg, local_max, max_distributed_rounds
         )
+        if prs_db_persisted:
+            prs_db.unpersist()
 
     # per-component capped edge weight, for the lvl-1 m2 correction
     comp_w = (

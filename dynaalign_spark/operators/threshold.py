@@ -32,6 +32,19 @@ def _kth_nonzero(pairs: DataFrame, m: int, j: int) -> float:
     return float(pairs.agg(F.expr(f"percentile(sim, {p!r})")).first()[0])
 
 
+def zero_quantile_certain(total: int, m_ub: float, p: float) -> bool:
+    """True iff the type-7 p-quantile of a ``total``-value distribution with
+    at most ``m_ub`` nonzeros is PROVABLY 0 — i.e. both interpolation points
+    land in the zero block. The rank is h = (total-1)p and interpolation
+    reads indices floor(h) and floor(h)+1, so with zeros >= total - m_ub the
+    sufficient condition is h < zeros - 1 in the worst case (ADVICE r01: the
+    earlier ``h < zeros`` check missed h in [zeros-1, zeros), where the upper
+    interpolation index reads the first nonzero sim and the true quantile is
+    frac * first_nonzero > 0).
+    """
+    return total > 0 and (total - 1) * p < total - m_ub - 1
+
+
 def quantile_threshold(pairs: DataFrame, n_valid: int, p: float) -> float:
     """Type-7 quantile of the full upper-triangle sim distribution.
 

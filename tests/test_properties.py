@@ -105,3 +105,36 @@ def test_louvain_partition_and_determinism(seed, n):
     q = modularity(nodes, edges, a1, resolution=1.05, self_weight=1.0)
     q0 = modularity(nodes, edges, singles, resolution=1.05, self_weight=1.0)
     assert q >= q0 - 1e-12
+
+
+@given(
+    st.integers(min_value=1, max_value=400),
+    st.integers(min_value=0, max_value=400),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+def test_zero_quantile_certain_is_safe(total, m, p):
+    """Whenever the shortcut predicate claims the type-7 quantile is 0, the
+    real quantile of the WORST-CASE distribution (exactly total-m zeros, m
+    nonzeros — the upper bound the pipeline uses) must be 0. Regression for
+    ADVICE r01: the old `h < zeros` check admitted h in [zeros-1, zeros),
+    where interpolation reads the first nonzero sim."""
+    from dynaalign_spark.operators.threshold import zero_quantile_certain
+
+    m = min(m, total)
+    if not zero_quantile_certain(total, m, p):
+        return
+    vals = np.concatenate([np.zeros(total - m), np.full(m, 0.42)])
+    assert np.quantile(vals, p, method="linear") == 0.0
+
+
+def test_zero_quantile_old_condition_was_wrong():
+    # total=10, m=1 nonzero, p=8.5/9: h=8.5 lands in [zeros-1, zeros)=[8,9);
+    # true type-7 quantile = 0.5*first_nonzero > 0. The old check
+    # ((total-1)p < total-m) accepted this case; the fixed one must not.
+    from dynaalign_spark.operators.threshold import zero_quantile_certain
+
+    total, m, p = 10, 1, 8.5 / 9
+    assert (total - 1) * p < total - m          # old condition claimed zero
+    assert not zero_quantile_certain(total, m, p)
+    vals = np.concatenate([np.zeros(9), [0.8]])
+    assert np.quantile(vals, p, method="linear") > 0.0

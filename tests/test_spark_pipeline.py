@@ -243,3 +243,32 @@ def test_short_caption_uint32_signatures_survive_ansi(spark):
     capped = CFG.with_(band_group_cap=2, chain_width=3)
     got = candidate_pairs(add_signatures(df, capped), capped).collect()
     assert got and all(abs(r["sim"] - 1.0) < 1e-12 for r in got)
+
+
+def test_distributed_break_with_pushed_floor_uses_unfloored_pairs(spark):
+    """When the zero-quantile shortcut pushes min_edge_sim into the verify
+    stage AND a component still exceeds local_max, the distributed break must
+    re-quantile from UNFLOORED in-group pairs (reference re-thresholds the
+    full subset matrix, R/clusterbreak.R:246-254; ADVICE r01). Smoke-drives
+    that path end-to-end and checks the output is a valid partition."""
+    from dynaalign_spark.fixtures import make_images_light
+    from dynaalign_spark.operators.threshold import zero_quantile_certain
+
+    rows = make_images_light(60, seed=9, singleton_frac=0.1, max_members=40)
+    cfg = CFG.with_(
+        n_hash=10, rows_per_band=1, band_group_cap=3, chain_width=1,
+        thresh_p=0.5, min_edge_sim=0.05,
+    )
+    n = len(rows)
+    m_ub = cfg.bands * n * max((cfg.band_group_cap - 1) / 2, cfg.chain_width)
+    assert zero_quantile_certain(n * (n - 1) // 2, m_ub, cfg.thresh_p), \
+        "fixture must trigger the shortcut for this test to mean anything"
+    res = clusterbreak_spark(
+        images_df(spark, rows), cfg, local_max=8, max_distributed_rounds=4
+    )
+    clusters = {r["image_id"]: r["cluster_id"] for r in res["clusters"].collect()}
+    filtered = {r["image_id"] for r in res["filtered"].collect()}
+    all_ids = {r["image_id"] for r in rows}
+    assert set(clusters) | filtered == all_ids
+    assert set(clusters).isdisjoint(filtered)
+    assert res["distributed_rounds"] >= 1, "must actually exercise the path"
