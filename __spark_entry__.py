@@ -440,16 +440,22 @@ def _duck_winnow(k: int, w: int) -> str:
 
 
 def _duck_simhash(k: int) -> str:
-    from dynaalign_spark.textops import SIMHASH_REL_BITS
+    # 60-bit two-hash layout shared with textops.simhash_captions: low 30
+    # bits vote on h, high 30 on h2 = (h * POLY_B2) % POLY_M2
+    from dynaalign_spark.textops import POLY_B2, POLY_M2, SIMHASH_REL_BITS
+
+    def src(b: int) -> str:
+        return f"((h >> {b}) & 1)" if b < 30 else f"((h2 >> {b - 30}) & 1)"
 
     bits = " + ".join(
-        f"(case when 2 * sum((h >> {b}) & 1) >= count(*) then {1 << b} else 0 end)"
+        f"(case when 2 * sum({src(b)}) >= count(*) then {1 << b} else 0 end)"
         for b in range(SIMHASH_REL_BITS)
     )
     return (
-        f"with memb as (select distinct doc_id, "
+        f"with memb0 as (select distinct doc_id, "
         f"unnest({_duck_kgram_hashes(k)}) as h "
-        f"from documents where length(text) >= {k}) "
+        f"from documents where length(text) >= {k}), "
+        f"memb as (select doc_id, h, (h * {POLY_B2}) % {POLY_M2} as h2 from memb0) "
         f"select doc_id, ({bits})::bigint as simhash from memb group by doc_id"
     )
 

