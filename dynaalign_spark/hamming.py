@@ -47,6 +47,42 @@ def chunk_layout(bits: int, max_hamming: int) -> tuple[list[int], list[int]]:
     return offs, lens
 
 
+def banded_pairs(bands: DataFrame, group_cap: int, chain_width: int) -> DataFrame:
+    """(_id, _sh, band_id, band_val) -> distinct candidate (a, b, sa, sb)
+    pairs from each band group, with the skew protection shared by every
+    banded tier: groups at or under ``group_cap`` emit all in-group pairs
+    (so completeness proofs over the banding survive), larger groups emit a
+    sorted chain (each member to its next ``chain_width`` neighbors) —
+    bounded fan-out, connectivity preserved for the CC stage.
+
+    One shuffle on (band_id, band_val); pairing is JVM-side array lambdas.
+    a < b (sort_array orders the collected structs by _id).
+    """
+    groups = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.sort_array(F.collect_list(F.struct("_id", "_sh"))).alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    all_pairs = (
+        "flatten(transform(ms, (x, i) -> "
+        "transform(slice(ms, i + 2, size(ms) - i - 1), "
+        "y -> struct(x._id as a, y._id as b, x._sh as sa, y._sh as sb))))"
+    )
+    chain_pairs = (
+        f"flatten(transform(ms, (x, i) -> "
+        f"transform(slice(ms, i + 2, {chain_width}), "
+        f"y -> struct(x._id as a, y._id as b, x._sh as sa, y._sh as sb))))"
+    )
+    pair_col = F.when(F.size("ms") <= group_cap, F.expr(all_pairs)).otherwise(
+        F.expr(chain_pairs)
+    )
+    return (
+        groups.select(F.explode(pair_col).alias("p"))
+        .select("p.a", "p.b", "p.sa", "p.sb")
+        .dropDuplicates(["a", "b"])
+    )
+
+
 def hamming_candidates(
     df: DataFrame,
     bits: int,
@@ -82,27 +118,8 @@ def hamming_candidates(
         F.col(sim_col).alias("_sh"),
         F.explode(F.array(*keys)).alias("c"),
     ).select("_id", "_sh", "c.band_id", "c.band_val")
-    groups = (
-        bands.groupBy("band_id", "band_val")
-        .agg(F.sort_array(F.collect_list(F.struct("_id", "_sh"))).alias("ms"))
-        .where(F.size("ms") > 1)
-    )
-    all_pairs = (
-        "flatten(transform(ms, (x, i) -> "
-        "transform(slice(ms, i + 2, size(ms) - i - 1), "
-        "y -> struct(x._id as a, y._id as b, x._sh as sa, y._sh as sb))))"
-    )
-    chain_pairs = (
-        f"flatten(transform(ms, (x, i) -> "
-        f"transform(slice(ms, i + 2, {chain_width}), "
-        f"y -> struct(x._id as a, y._id as b, x._sh as sa, y._sh as sb))))"
-    )
-    pair_col = F.when(F.size("ms") <= group_cap, F.expr(all_pairs)).otherwise(
-        F.expr(chain_pairs)
-    )
     return (
-        groups.select(F.explode(pair_col).alias("p"))
-        .select("p.a", "p.b", F.bit_count(F.expr("p.sa ^ p.sb")).alias("hamming"))
+        banded_pairs(bands, group_cap, chain_width)
+        .select("a", "b", F.bit_count(F.expr("sa ^ sb")).alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["a", "b"])
     )
