@@ -52,7 +52,8 @@ ASSIGN_SCHEMA = "image_id string, cluster_id string, status string"
 
 
 def _local_break(ids, sigs: np.ndarray, first_threshold: float, cfg: DedupConfig,
-                 first_m2: float | None = None):
+                 first_m2: float | None = None,
+                 extra_pairs: set | None = None):
     """Reference cluster_recursive on one component, in memory.
 
     ids: sorted member ids; sigs: (m, n_hash) uint32. Level 1 uses the
@@ -74,6 +75,12 @@ def _local_break(ids, sigs: np.ndarray, first_threshold: float, cfg: DedupConfig
         for i in range(m):
             sim[i, i + 1 :] = (s[i + 1 :] == s[i]).mean(axis=1)
             sim[i + 1 :, i] = sim[i, i + 1 :]
+        if extra_pairs:
+            pos = {ids[g]: n for n, g in enumerate(idx)}
+            for x, y in extra_pairs:
+                px, py = pos.get(x), pos.get(y)
+                if px is not None and py is not None:
+                    sim[px, py] = sim[py, px] = 1.0
         return sim
 
     def recurse(idx, threshold, m2_total=None):
@@ -134,6 +141,15 @@ def _refine_factory(cfg: DedupConfig, global_threshold: float,
         lvl = int(pdf["lvl"].iloc[0])
         ids = pdf["image_id"].tolist()
         sigs = np.array(pdf["minhash"].tolist(), dtype=np.int64).astype(np.uint32)
+        extra_pairs: set = set()
+        if "xp" in pdf.columns:
+            in_group = set(ids)
+            for iid, ps in zip(pdf["image_id"], pdf["xp"]):
+                if ps is None:
+                    continue
+                for p in ps:
+                    if p in in_group:
+                        extra_pairs.add((iid, p) if iid < p else (p, iid))
         if lvl == 1:
             # m2 consistency: global_m2 was summed over the *capped* global
             # edge set; the local recursion recomputes the *full*
@@ -145,14 +161,24 @@ def _refine_factory(cfg: DedupConfig, global_threshold: float,
             m2 = global_m2
             if m2 is not None and w_capped is not None:
                 cut = max(global_threshold, 1e-300)
+                xrows: dict = {}
+                if extra_pairs:  # merged weights: max(caption sim, 1.0)
+                    posm = {d: n for n, d in enumerate(ids)}
+                    for x, y in extra_pairs:
+                        i2, j2 = sorted((posm[x], posm[y]))
+                        xrows.setdefault(i2, []).append(j2)
                 w_full = 0.0
                 for i in range(len(ids) - 1):
                     row = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+                    for j2 in xrows.get(i, ()):
+                        row[j2 - i - 1] = 1.0
                     w_full += float(row[row >= cut].sum())
                 m2 = m2 - 2.0 * w_capped + 2.0 * w_full
-            res = _local_break(ids, sigs, global_threshold, cfg, first_m2=m2)
+            res = _local_break(ids, sigs, global_threshold, cfg, first_m2=m2,
+                               extra_pairs=extra_pairs)
         else:
-            res = _local_break(ids, sigs, None, cfg, first_m2=None)
+            res = _local_break(ids, sigs, None, cfg, first_m2=None,
+                               extra_pairs=extra_pairs)
         return pd.DataFrame(
             {
                 "image_id": [r[0] for r in res],
@@ -325,12 +351,23 @@ def clusterbreak_spark(
     local_max: int = 1500,
     max_distributed_rounds: int = 12,
     profile: dict | None = None,
+    extra_edges: DataFrame | None = None,
 ) -> dict:
     """Full pipeline -> dict with clusters / filtered / metrics DataFrames.
 
     Returns keys: signatures, pairs, threshold, edges, components,
     assignments, clusters (image_id, cluster_id), filtered (image_id,
     reason), cc_rounds, distributed_rounds.
+
+    ``extra_edges``: optional (a, b) pairs from OTHER dedup tiers (pixel
+    SimHash, caption-substring containment — the north rule's multi-signal
+    union). They are merged as weight-1.0 edges into the thresholded caption
+    edge set BEFORE connected components, so pixel-only / substring-only
+    duplicates land in the same cluster as their caption-tier neighbors.
+    Size constraints still apply afterwards: an oversized merged component
+    is re-broken on caption similarity alone (extra edges carry no caption
+    sim), and nodes whose captions yield no signature stay filtered —
+    tier edges contribute connectivity, not signature mass.
 
     ``profile``: pass a dict to force + wall-time each stage boundary into it
     (signatures / pairs / components / aggs) — the per-stage metrics feed the
@@ -384,6 +421,41 @@ def clusterbreak_spark(
     else:
         thr = max(quantile_threshold(prs, n_valid, cfg.thresh_p), cfg.min_edge_sim)
     edges = threshold_edges(prs, thr)
+    xtra = None
+    if extra_edges is not None:
+        xtra = (
+            extra_edges.select(
+                F.least("a", "b").alias("a"),
+                F.greatest("a", "b").alias("b"),
+                F.lit(1.0).alias("sim"),
+            )
+            .where(F.col("a") != F.col("b"))
+            # tier edges only connect signature-bearing nodes: the refine
+            # stage joins on `valid` signatures, so an empty-caption endpoint
+            # would otherwise silently vanish from `clusters` while no longer
+            # being reported in `filtered`
+            .join(valid.select(F.col("image_id").alias("a")), "a", "left_semi")
+            .join(valid.select(F.col("image_id").alias("b")), "b", "left_semi")
+            .dropDuplicates(["a", "b"])
+            # sever lineage: xtra and the caption edges both descend from
+            # `sig`; unioning the two live plans and feeding the result into
+            # CC's self-union star rounds trips a Spark 4 optimizer
+            # attribute-resolution failure (NoSuchElementException: key not
+            # found: src#...) inside the lazy localCheckpoint. The tier edge
+            # set is small (verified candidates), so an eager cut is cheap.
+            .localCheckpoint()
+        )
+        # merged-graph weights: max(caption sim, 1.0 for a tier edge) — tier
+        # edges always survive thresholding (thr <= 1), and the SAME weights
+        # feed wsum/comp_w below and the refine/distributed recursion, so
+        # Louvain sees one consistent graph
+        edges = (
+            edges.select("a", "b", "sim")
+            .unionByName(xtra)
+            .groupBy("a", "b")
+            .agg(F.max("sim").alias("sim"))
+            .localCheckpoint()
+        )
 
     t0 = _time.time()
     comp, cc_rounds = connected_components(edges)
@@ -438,6 +510,15 @@ def clusterbreak_spark(
                 sig_big, cfg, sim_floor=0.0, n_rows_hint=n_big
             ).persist(cache_lvl)
             prs_db_persisted = True
+        if xtra is not None:
+            # oversized merged components re-quantile over the SAME merged
+            # weights (max of caption sim and tier 1.0) the CC stage saw
+            prs_db = (
+                prs_db.select("a", "b", "sim")
+                .unionByName(xtra)
+                .groupBy("a", "b")
+                .agg(F.max("sim").alias("sim"))
+            )
         small, solo_distr, unbroken, d_rounds = _distributed_break(
             prs_db, groups0, cfg, local_max, max_distributed_rounds
         )
@@ -467,6 +548,20 @@ def clusterbreak_spark(
         .join(comp_w, "group_id", "left")
         .fillna({"w_capped": 0.0})
     )
+    if xtra is not None:
+        # per-member tier-edge partner list, so the in-memory recursion can
+        # max the signature sim matrix with the tier edges (weight 1.0) —
+        # without this the refine stage would recompute caption-only sims
+        # and Louvain would split tier-connected members straight back apart
+        xp = (
+            xtra.select(F.col("a").alias("image_id"), F.col("b").alias("partner"))
+            .unionAll(
+                xtra.select(F.col("b").alias("image_id"), F.col("a").alias("partner"))
+            )
+            .groupBy("image_id")
+            .agg(F.sort_array(F.collect_list("partner")).alias("xp"))
+        )
+        grouped = grouped.join(xp, "image_id", "left")
 
     refine = _refine_factory(cfg, thr, global_m2=global_m2)
     n_buckets = max(cfg.shuffle_partitions * 8, 64)

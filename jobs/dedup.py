@@ -4,10 +4,12 @@ jobs/dedup.py --input ... --output ...`).
 Pipeline: images parquet/Iceberg -> MinHash signatures (caption shingles, with
 optional phash bit-shingle fusion) -> LSH candidate pairs -> global type-7
 quantile threshold (composed with the scale noise floor) -> thresholded edges
+-> union of the optional SimHash pixel tier's and caption-substring tier's
+edges (--pixel-tier / --substring-tier; the north rule's multi-signal merge)
 -> connected components + size-constrained cluster breaking (distributed
 re-threshold recursion above local_max, exact in-memory Louvain recursion
 below) -> clusters / filtered -> per-cluster consensus + medoid exemplar ->
-optional SimHash pixel tier merged in -> per-row invariant audit.
+per-row invariant audit.
 
 Every major stage is parquet-checkpointed with a metrics/lineage manifest
 (dynaalign_spark.stages.StageRunner); a re-run resumes after the last
@@ -56,6 +58,9 @@ def parse_args(argv=None):
                    help="config override key=value (repeatable)")
     p.add_argument("--pixel-tier", action="store_true",
                    help="also run the SimHash pixel tier and merge its edges")
+    p.add_argument("--substring-tier", action="store_true",
+                   help="also run the caption-substring containment tier "
+                        "and merge its edges")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--master", default=None)
     return p.parse_args(argv)
@@ -83,6 +88,7 @@ def main(argv=None):
         json.dumps({k: str(v) for k, v in vars(cfg).items()}, sort_keys=True).encode()
         + args.input.encode()
         + (b"px" if args.pixel_tier else b"")
+        + (b"sub" if args.substring_tier else b"")
     ).hexdigest()[:16]
     runner = StageRunner(spark, args.output, resume=not args.no_resume,
                          config_fingerprint=fp)
@@ -94,8 +100,32 @@ def main(argv=None):
     sig = runner.run("signatures", lambda: add_signatures(images, cfg))
     prs = runner.run("pairs", lambda: candidate_pairs(sig, cfg))
 
+    # multi-signal tiers (north rule: caption MinHash ∪ pixel SimHash ∪
+    # substring containment) — each tier's edges are checkpointed, then
+    # merged as weight-1 edges before connected components
+    extra = None
+    if args.pixel_tier:
+        extra = runner.run(
+            "pixel_edges",
+            lambda: dedup_pixels(images, cfg)["edges"].select("a", "b"),
+        )
+    if args.substring_tier:
+        from dynaalign_spark.textops import suffix_candidates
+
+        sub = runner.run(
+            "substring_edges",
+            lambda: suffix_candidates(
+                images.select("image_id", "caption"),
+                prefix_len=24, min_suffix=16,
+                id_col="image_id", text_col="caption",
+            ).select(F.col("contained").alias("a"), F.col("container").alias("b")),
+        )
+        extra = sub if extra is None else extra.unionByName(sub)
+
     def _cluster():
-        res = clusterbreak_spark(images, cfg, signatures=sig, pairs=prs)
+        res = clusterbreak_spark(
+            images, cfg, signatures=sig, pairs=prs, extra_edges=extra
+        )
         return res["clusters"]
 
     clusters = runner.run("clusters", _cluster)
@@ -109,12 +139,6 @@ def main(argv=None):
         )
 
     filtered = runner.run("filtered", _filtered)
-
-    if args.pixel_tier:
-        px = runner.run(
-            "pixel_clusters",
-            lambda: dedup_pixels(images, cfg)["clusters"],
-        )
 
     reps = runner.run(
         "representatives",
