@@ -60,6 +60,15 @@ class DedupConfig:
     size_min: int = 3
     max_itr: int = 10000
     louvain_resolution: float = 1.05
+    # pluggable cluster_fn (reference clusterbreak's cluster_fn arg,
+    # R/clusterbreak.R:186): "louvain" = single run at louvain_resolution;
+    # "louvain_mod" = the reference's resolution grid-search
+    # (R/clusterbreak.R:37-67) over [res*(1-perc), res*(1+perc)] by res_step
+    # with res_itr deterministic restarts per point, keeping max modularity
+    cluster_fn: str = "louvain"
+    res_range_perc: float = 0.0
+    res_step: float = 0.0
+    res_itr: int = 3
 
     # LSH banding (scale extension; no reference twin)
     bands: int = 50

@@ -136,6 +136,7 @@ def louvain_mod(
     res_step: float = 0.0,
     itr: int = 3,
     self_weight: float = 0.0,
+    m2_total: float | None = None,
 ) -> dict:
     """Resolution grid-search, keep max modularity — the transplant of the
     reference's ``louvain_mod`` (R/clusterbreak.R:37-67): sweep resolutions
@@ -147,6 +148,16 @@ def louvain_mod(
     (louvain sweeps in sorted-id order, so relabeling changes the sweep),
     runs on the relabeled graph, and maps back — reproducible restarts (the
     engine-wide determinism pin, SURVEY.md §4 point 5).
+
+    Pinned deviation from R (documented; SCALE rationale): the best
+    resolution is selected PER CONNECTED COMPONENT, all components sharing
+    the call-graph-global (or caller-supplied) null-model mass 2m. The
+    distributed pipeline refines components independently — a single
+    globally-coupled resolution would serialize the sweep across the corpus
+    — and per-component argmax can only raise total modularity. On a
+    single-component graph this is exactly the reference semantic. Doing the
+    decomposition HERE (not in callers) keeps the Spark refine stage and the
+    in-memory oracle byte-identical on multi-component graphs.
     """
     import zlib
 
@@ -158,29 +169,72 @@ def louvain_mod(
             r += res_step
     else:
         grid = [res]
-    base = sorted(nodes)
-    best = None
-    for r in grid:
-        for j in range(max(itr, 1)):
-            if j == 0:
-                order = base
-            else:
-                order = sorted(base, key=lambda n: zlib.crc32(f"{j}:{n}".encode()))
-            relab = {n: i for i, n in enumerate(order)}
-            inv = {i: n for n, i in relab.items()}
-            e2 = [(relab[u], relab[v], w) for u, v, w in edges]
-            a2 = louvain(list(relab.values()), e2, resolution=r, self_weight=self_weight)
-            assign = {inv[i]: c for i, c in a2.items()}
-            q = modularity(nodes, edges, assign, resolution=r, self_weight=self_weight)
-            if best is None or q > best["modularity"] + 1e-15:
-                best = {"cluster": assign, "resolution": r, "modularity": q}
-    return best
+    if m2_total is None:
+        m2_total = 2.0 * sum(w for _, _, w in edges) + 2.0 * self_weight * len(nodes)
+
+    # connected components (singletons included)
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v, _ in edges:
+        parent[find(u)] = find(v)
+    comp_nodes: dict = {}
+    for nd in nodes:
+        comp_nodes.setdefault(find(nd), []).append(nd)
+    comp_edges: dict = {r_: [] for r_ in comp_nodes}
+    for u, v, w in edges:
+        comp_edges[find(u)].append((u, v, w))
+
+    def sweep_one(cn: list, ce: list) -> dict:
+        base = sorted(cn)
+        best = None
+        for r in grid:
+            for j in range(max(itr, 1)):
+                if j == 0:
+                    order = base
+                else:
+                    order = sorted(base, key=lambda n: zlib.crc32(f"{j}:{n}".encode()))
+                relab = {n: i for i, n in enumerate(order)}
+                inv = {i: n for n, i in relab.items()}
+                e2 = [(relab[u], relab[v], w) for u, v, w in ce]
+                a2 = louvain(list(relab.values()), e2, resolution=r,
+                             self_weight=self_weight, m2_total=m2_total)
+                assign = {inv[i]: c for i, c in a2.items()}
+                q = modularity(cn, ce, assign, resolution=r,
+                               self_weight=self_weight, m2_total=m2_total)
+                if best is None or q > best["modularity"] + 1e-15:
+                    best = {"cluster": assign, "resolution": r, "modularity": q}
+        return best
+
+    assign: dict = {}
+    offset = 0
+    total_q = 0.0
+    best_res = grid[0]
+    best_comp_size = -1
+    for r_ in sorted(comp_nodes, key=lambda r_: min(comp_nodes[r_])):
+        b = sweep_one(comp_nodes[r_], comp_edges[r_])
+        for nd, c in b["cluster"].items():
+            assign[nd] = offset + c
+        offset += (max(b["cluster"].values()) + 1) if b["cluster"] else 0
+        total_q += b["modularity"]
+        if len(comp_nodes[r_]) > best_comp_size:  # report the dominant component's pick
+            best_comp_size = len(comp_nodes[r_])
+            best_res = b["resolution"]
+    return {"cluster": assign, "resolution": best_res, "modularity": total_q}
 
 
 def modularity(
     nodes: list, edges: list[tuple], assign: dict, resolution: float = 1.0,
-    self_weight: float = 0.0,
+    self_weight: float = 0.0, m2_total: float | None = None,
 ) -> float:
+    """``m2_total``: override the null-model mass 2m with a global constant
+    (the pipeline's level-1 convention — see clusterbreak_spark); in_c/tot
+    still come from the local edge set."""
     m2 = 2.0 * self_weight * len(nodes)
     in_c: dict = {}
     tot: dict = {}
@@ -195,6 +249,8 @@ def modularity(
         tot[cv] = tot.get(cv, 0.0) + w
         if cu == cv:
             in_c[cu] = in_c.get(cu, 0.0) + 2.0 * w
+    if m2_total is not None:
+        m2 = float(m2_total)
     if m2 <= 0:
         return 0.0
     return sum(

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DedupConfig
-from ..louvain import louvain
+from ..louvain import louvain, louvain_mod
 from ..oracle import quantile_type7
 from .components import connected_components
 from .lsh import candidate_pairs
@@ -101,11 +101,22 @@ def _local_break(ids, sigs: np.ndarray, first_threshold: float, cfg: DedupConfig
             for j in range(i + 1, m):
                 if simz[i, j] > 0:
                     edges.append((ids[idx[i]], ids[idx[j]], float(simz[i, j])))
-        memb = louvain(
-            [ids[i] for i in idx], edges,
-            resolution=cfg.louvain_resolution, self_weight=1.0,
-            m2_total=m2_total,
-        )
+        if cfg.cluster_fn == "louvain_mod":
+            # reference resolution grid-search (R/clusterbreak.R:37-67),
+            # pluggable via cluster_fn exactly like the reference's
+            # clusterbreak(cluster_fn=louvain_mod) wiring
+            memb = louvain_mod(
+                [ids[i] for i in idx], edges,
+                res=cfg.louvain_resolution,
+                res_range_perc=cfg.res_range_perc, res_step=cfg.res_step,
+                itr=cfg.res_itr, self_weight=1.0, m2_total=m2_total,
+            )["cluster"]
+        else:
+            memb = louvain(
+                [ids[i] for i in idx], edges,
+                resolution=cfg.louvain_resolution, self_weight=1.0,
+                m2_total=m2_total,
+            )
         sizes: dict = {}
         for i in idx:
             sizes[memb[ids[i]]] = sizes.get(memb[ids[i]], 0) + 1

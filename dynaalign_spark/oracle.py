@@ -24,7 +24,7 @@ from __future__ import annotations
 import numpy as np
 
 from .hashing import minhash_batch
-from .louvain import louvain
+from .louvain import louvain, louvain_mod
 
 
 def signatures(texts, k: int, seeds, phash=None, phash_gram: int = 4) -> np.ndarray:
@@ -59,12 +59,22 @@ def upper_tri(sim: np.ndarray) -> np.ndarray:
     return sim[iu]
 
 
-def netcluster(sim: np.ndarray, node_ids, resolution: float = 1.05) -> dict:
+def netcluster(sim: np.ndarray, node_ids, resolution: float = 1.05,
+               cluster_fn: str = "louvain", res_range_perc: float = 0.0,
+               res_step: float = 0.0, res_itr: int = 3) -> dict:
     """Thresholded similarity matrix -> Louvain membership.
 
     Caller has already zeroed sub-threshold entries (R/clusterbreak.R:221).
     Nonzero off-diagonal entries are weighted edges; the diagonal becomes a
     self-loop of weight 1 per node (igraph mode="upper" keeps it — quirk Q6).
+    ``cluster_fn`` mirrors the reference's pluggable cluster function
+    (R/clusterbreak.R:186): "louvain_mod" runs the resolution grid-search
+    (R/clusterbreak.R:37-67). Pinned deviation from R: the sweep selects the
+    best resolution PER CONNECTED COMPONENT (sharing the graph-global
+    null-model mass 2m), not one global resolution — that is exactly what
+    the distributed pipeline does (each component refines independently;
+    a globally-coupled selection would serialize the sweep across 10^12
+    rows), and per-component argmax can only raise total modularity.
     """
     n = sim.shape[0]
     ids = list(node_ids)
@@ -73,6 +83,10 @@ def netcluster(sim: np.ndarray, node_ids, resolution: float = 1.05) -> dict:
         for j in range(i + 1, n):
             if sim[i, j] > 0:
                 edges.append((ids[i], ids[j], float(sim[i, j])))
+    if cluster_fn == "louvain_mod":
+        return louvain_mod(ids, edges, res=resolution,
+                           res_range_perc=res_range_perc, res_step=res_step,
+                           itr=res_itr, self_weight=1.0)["cluster"]
     return louvain(ids, edges, resolution=resolution, self_weight=1.0)
 
 
@@ -87,6 +101,10 @@ def clusterbreak(
     max_itr: int = 10000,
     resolution: float = 1.05,
     phash=None,
+    cluster_fn: str = "louvain",
+    res_range_perc: float = 0.0,
+    res_step: float = 0.0,
+    res_itr: int = 3,
 ):
     """Reference clusterbreak recursion (R/clusterbreak.R:180-275).
 
@@ -108,7 +126,9 @@ def clusterbreak(
         thr = quantile_type7(upper_tri(sim), thresh_p)
         simz = sim.copy()
         simz[simz < thr] = 0.0
-        memb = netcluster(simz, sub_ids, resolution=resolution)
+        memb = netcluster(simz, sub_ids, resolution=resolution,
+                          cluster_fn=cluster_fn, res_range_perc=res_range_perc,
+                          res_step=res_step, res_itr=res_itr)
         # cluster ids 1-based like igraph membership via tabulate
         sizes: dict = {}
         for nd in sub_ids:
