@@ -141,6 +141,15 @@ def q_substring_pairs(spark, sf_dir):
     )
 
 
+def q_substring_lcp_pairs(spark, sf_dir):
+    """Distributed suffix-array pass (VERDICT r01 #7): doc pairs sharing a
+    substring of length >= 32 with the exact capped LCS — long shared
+    REGIONS, which the containment query above cannot see."""
+    return textops.shared_substring_pairs(
+        _docs(spark, sf_dir), min_len=32, prefix_cap=48,
+    )
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     return textops.winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)
 
@@ -366,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "substring_pairs": q_substring_pairs,
+        "substring_lcp_pairs": q_substring_lcp_pairs,
         "winnow_fingerprints": q_winnow_fingerprints,
         "simhash_captions": q_simhash_captions,
         "simhash_pairs": q_simhash_pairs,
@@ -580,6 +590,17 @@ def oracle_sql() -> dict[str, str]:
             "select a.doc_id as contained, b.doc_id as container from documents a "
             "join documents b on a.doc_id != b.doc_id "
             "where length(a.text) >= 8 and contains(b.text, a.text)"
+        ),
+        "substring_lcp_pairs": (
+            "with g as ("
+            " select doc_id, l, unnest(list_distinct(list_transform("
+            "  generate_series(1, length(text) - l + 1),"
+            "  p -> substring(text, p, l)))) as gram"
+            " from documents, (select unnest(generate_series(32, 48)) as l)"
+            " where length(text) >= l) "
+            "select x.doc_id as a, y.doc_id as b, max(x.l)::int as maxlen "
+            "from g x join g y on x.l = y.l and x.gram = y.gram "
+            "and x.doc_id < y.doc_id group by 1, 2"
         ),
         "winnow_fingerprints": _duck_winnow(8, 4),
         "simhash_captions": _duck_simhash(4),

@@ -25,6 +25,8 @@ with ``max_doc_freq``, the analog of dropping stop-shingles).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -389,6 +391,114 @@ def simhash_caption_pairs(docs: DataFrame, k: int = 4, max_hamming: int = 6,
         sim_col="simhash",
         group_cap=group_cap,
         chain_width=chain_width,
+    )
+
+
+def shared_substring_pairs(docs: DataFrame, min_len: int = 32,
+                           prefix_cap: int = 48, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           group_cap: int = 2000) -> DataFrame:
+    """Distributed generalized-suffix-array pass (SURVEY §2.4, VERDICT r01
+    #7): -> (a, b, maxlen) doc pairs sharing a substring of length >=
+    ``min_len``, with maxlen = min(longest common substring, prefix_cap).
+    The exact-substring analog of the reference's similarityNW tier
+    (src/pairwiseSeqAlign.cpp:331-365) — finds long shared REGIONS, not just
+    the whole-text containment ``suffix_candidates`` covers.
+
+    Construction: every suffix with >= min_len chars left becomes a row
+    keyed by its first ``prefix_cap`` chars (skey). The global suffix-array
+    order is (bucket, skey) where bucket = skey's first min_len chars: each
+    bucket is a disjoint LEXICAL RANGE of the suffix array, so the bucket
+    shuffle IS the distributed range partition of the sorted suffix array,
+    and the in-group sort completes the order. Two docs share an L-gram
+    (min_len <= L <= prefix_cap) iff two of their suffixes land in one
+    bucket with LCP >= L, so per-bucket scans are a COMPLETE generator and
+    max-LCP per doc pair is exact: for sorted suffixes, LCP(s_i, s_j) =
+    min of adjacent LCPs in between (numpy running-min scan per anchor).
+
+    Skew: a bucket bigger than ``group_cap`` (a corpus-hot 32-gram) degrades
+    to a doc chain at maxlen = min_len — bounded fan-out, connectivity
+    preserved, value floor still correct (every doc pair in a bucket shares
+    >= min_len by construction).
+
+    One shuffle on the bucket key + one pair-level groupBy(max); suffixes
+    carry (doc_id, skey) only — total bytes ~ prefix_cap * corpus chars.
+    """
+    suffixes = (
+        docs.where(F.length(text_col) >= min_len)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {min_len} + 1),"
+                    f" i -> substring({text_col}, i, {prefix_cap}))"
+                )
+            ).alias("skey"),
+        )
+        .dropDuplicates(["doc_id", "skey"])
+        .withColumn("bucket", F.substring("skey", 1, min_len))
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype=object),
+                              "b": pd.Series(dtype=object),
+                              "maxlen": pd.Series(dtype="int32")})
+        out = [empty]
+        for _, g in pdf.groupby("bucket", sort=False):
+            g = g.sort_values("skey")
+            sk = g["skey"].tolist()
+            dc = g["doc_id"].tolist()
+            m = len(sk)
+            if m < 2 or len(set(dc)) < 2:
+                continue
+            if m > group_cap:
+                uniq = sorted(set(dc))
+                out.append(pd.DataFrame({
+                    "a": uniq[:-1], "b": uniq[1:],
+                    "maxlen": np.full(len(uniq) - 1, min_len, dtype="int32"),
+                }))
+                continue
+            lcps = np.empty(m - 1, dtype=np.int64)
+            for i in range(m - 1):
+                x, y = sk[i], sk[i + 1]
+                n = min(len(x), len(y))
+                j = 0
+                while j < n and x[j] == y[j]:
+                    j += 1
+                lcps[i] = j
+            ai, vv = [], []
+            for i in range(m - 1):
+                ai.append(np.full(m - 1 - i, i, dtype=np.int64))
+                vv.append(np.minimum.accumulate(lcps[i:]))
+            idx_i = np.concatenate(ai)
+            v = np.concatenate(vv)
+            idx_j = idx_i + np.concatenate(
+                [np.arange(1, m - i, dtype=np.int64) for i in range(m - 1)]
+            )
+            da = np.asarray(dc, dtype=object)
+            xa, xb = da[idx_i], da[idx_j]
+            keep = xa != xb
+            lo = np.where(xa[keep] < xb[keep], xa[keep], xb[keep])
+            hi = np.where(xa[keep] < xb[keep], xb[keep], xa[keep])
+            out.append(
+                pd.DataFrame({"a": lo, "b": hi, "maxlen": v[keep]})
+                .groupby(["a", "b"], as_index=False)["maxlen"].max()
+                .astype({"maxlen": "int32"})
+            )
+        return pd.concat(out, ignore_index=True)
+
+    # salt-bucketed invocation (one Python call per hash bucket of suffix
+    # buckets, not per 32-gram): same trick as the refine/consensus stages
+    id_type = docs.schema[id_col].dataType.simpleString()
+    n_buckets = 256
+    pairs = (
+        suffixes.withColumn("pg", F.pmod(F.xxhash64("bucket"), F.lit(n_buckets)))
+        .groupBy("pg")
+        .applyInPandas(scan, f"a {id_type}, b {id_type}, maxlen int")
+    )
+    return (
+        pairs.groupBy("a", "b").agg(F.max("maxlen").alias("maxlen"))
+        .where(F.col("maxlen") >= min_len)
     )
 
 

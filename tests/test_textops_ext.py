@@ -164,3 +164,64 @@ def test_io_seam_parquet_roundtrip(spark, tmp_path):
     assert dio.is_table_name("lake.images")
     assert not dio.is_table_name("/data/images.parquet")
     assert not dio.is_table_name("s3://bucket/images.parquet".replace("s3://", "/"))
+
+
+def test_shared_substring_pairs_exact_lcs(spark):
+    """Suffix-array pass vs brute-force capped LCS: pairs sharing >= min_len
+    get exactly min(LCS, prefix_cap) — including a long shared REGION with
+    no containment, which suffix_candidates cannot see."""
+    region = "the quick brown fox jumps over the lazy dog repeatedly"
+    docs = [
+        (0, "alpha prefix " + region + " omega suffix padding here"),
+        (1, "totally different head " + region + " and another tail"),
+        (2, "no overlap with anything else at all in this one text"),
+        (3, "alpha prefix " + region),  # prefix-contained in doc 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    min_len, cap = 16, 32
+    got = {(r.a, r.b): r.maxlen
+           for r in textops.shared_substring_pairs(
+               df, min_len=min_len, prefix_cap=cap).collect()}
+
+    def lcs(x, y):
+        best = 0
+        for i in range(len(x)):
+            for j in range(len(y)):
+                k = 0
+                while i + k < len(x) and j + k < len(y) and x[i + k] == y[j + k]:
+                    k += 1
+                best = max(best, k)
+        return best
+
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            m = min(lcs(docs[i][1], docs[j][1]), cap)
+            if m >= min_len:
+                want[(docs[i][0], docs[j][0])] = m
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == cap  # long region, not containment
+
+
+def test_shared_substring_pairs_hot_bucket_degrades_to_chain(spark):
+    """A corpus-hot 32-gram (every doc shares it) with a small group_cap
+    must emit a doc chain at maxlen=min_len, not the quadratic all-pairs."""
+    hot = "x" * 40
+    n = 60
+    docs = [(i, f"unique head {i:04d} " + hot + f" tail {i:04d}") for i in range(n)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = textops.shared_substring_pairs(
+        df, min_len=32, prefix_cap=48, group_cap=20).collect()
+    pairs = {(r.a, r.b) for r in got}
+    assert len(pairs) < n * (n - 1) // 2 / 2  # far from quadratic
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(n)}) == 1  # connectivity preserved
