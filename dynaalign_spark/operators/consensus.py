@@ -9,9 +9,11 @@ vote at the median caption length (ties -> lexicographically smallest char),
 plus a medoid exemplar = the member maximizing total signature agreement to
 its cluster (deterministic tie-break by image_id).
 
-One ``groupBy(cluster_id).applyInPandas`` stage — clusters are bounded by
-size_max, so each group trivially fits a task (the reference holds the same
-in-memory-cluster assumption)."""
+One salt-bucketed ``applyInPandas`` stage (VERDICT r01 #8): clusters are
+bounded by size_max so each fits trivially in memory, but at 10^5-10^6
+clusters a per-cluster Python invocation serializes on per-group overhead —
+so, exactly like the refine stage (clusterbreak), one invocation handles a
+whole hash bucket of clusters and loops groups in-process."""
 
 from __future__ import annotations
 
@@ -49,16 +51,42 @@ def _consensus_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _consensus_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    outs = [
+        _consensus_group(g) for _, g in pdf.groupby("cluster_id", sort=True)
+    ]
+    return (
+        pd.concat(outs, ignore_index=True)
+        if outs
+        else pd.DataFrame(
+            {
+                "cluster_id": pd.Series(dtype=object),
+                "consensus_caption": pd.Series(dtype=object),
+                "exemplar_image_id": pd.Series(dtype=object),
+                "size": pd.Series(dtype="int64"),
+            }
+        )
+    )
+
+
 def cluster_representatives(
-    clusters: DataFrame, images: DataFrame, signatures: DataFrame | None = None
+    clusters: DataFrame, images: DataFrame, signatures: DataFrame | None = None,
+    n_buckets: int = 256,
 ) -> DataFrame:
     """clusters (image_id, cluster_id) + images -> one row per cluster:
-    (cluster_id, consensus_caption, exemplar_image_id, size)."""
+    (cluster_id, consensus_caption, exemplar_image_id, size).
+
+    The shuffle key is a hash bucket of cluster_id (``n_buckets`` groups),
+    NOT cluster_id itself — many clusters per Python invocation."""
     joined = clusters.join(images.select("image_id", "caption"), "image_id")
     if signatures is not None:
         joined = joined.join(
             signatures.select("image_id", "minhash"), "image_id", "left"
         )
-    return joined.groupBy("cluster_id").applyInPandas(
-        _consensus_group, CONSENSUS_SCHEMA
+    return (
+        joined.withColumn(
+            "bucket", F.pmod(F.xxhash64("cluster_id"), F.lit(n_buckets))
+        )
+        .groupBy("bucket")
+        .applyInPandas(_consensus_bucket, CONSENSUS_SCHEMA)
     )

@@ -89,3 +89,23 @@ def test_verify_join_shuffles_above_cutoff(spark, images_parquet):
     # broadcast hint. Check the hint is absent from the analyzed plan.
     analyzed = str(prs._jdf.queryExecution().analyzed())
     assert "ResolvedHint" not in analyzed
+
+
+def test_consensus_stage_buckets_clusters(spark):
+    """VERDICT r01 #8: the consensus shuffle must key on the salt bucket,
+    never on cluster_id (one Python invocation per bucket of clusters)."""
+    from dynaalign_spark.operators.consensus import cluster_representatives
+
+    clusters = spark.createDataFrame(
+        [(f"i{k}", f"c{k % 3}") for k in range(9)],
+        "image_id string, cluster_id string",
+    )
+    imgs = spark.createDataFrame(
+        [(f"i{k}", f"caption number {k}") for k in range(9)],
+        "image_id string, caption string",
+    )
+    reps = cluster_representatives(clusters, imgs)
+    plan = _formatted_plan(reps)
+    assert "hashpartitioning(bucket" in plan
+    assert "hashpartitioning(cluster_id" not in plan
+    assert reps.count() == 3
