@@ -84,6 +84,21 @@ def bench_queries(spark):
         res = clusterbreak_spark(images, SCALE.with_(size_max=50, size_min=1))
         return res["clusters"]
 
+    def dedup_multitier():
+        """The north-rule multi-signal merge: caption MinHash ∪ pixel
+        SimHash ∪ substring containment edges -> one cluster assignment."""
+        from dynaalign_spark.operators.simhash import dedup_pixels
+
+        images = spark.read.parquet(img_path)
+        cfg = SCALE.with_(size_max=50, size_min=1)
+        px = dedup_pixels(images, cfg)["edges"].select("a", "b")
+        sub = textops.suffix_candidates(
+            images.select("image_id", "caption"), prefix_len=24,
+            min_suffix=16, id_col="image_id", text_col="caption",
+        ).select(F.col("contained").alias("a"), F.col("container").alias("b"))
+        res = clusterbreak_spark(images, cfg, extra_edges=px.unionByName(sub))
+        return res["clusters"]
+
     def minhash_signatures():
         return entrymod.q_minhash_signatures(spark, SF_DIR)
 
@@ -96,6 +111,7 @@ def bench_queries(spark):
 
     qs = {
         "dedup_images": dedup_images,
+        "dedup_multitier": dedup_multitier,
         "minhash_signatures": minhash_signatures,
         # bench variant is the scale path: MinHash-LSH candidate generation +
         # exact array_intersect verification (the shared-vocab corpus makes
@@ -106,6 +122,10 @@ def bench_queries(spark):
             spark.read.parquet(f"{SF_DIR}/documents.parquet"), 6, threshold=0.5,
         ),
         "substring_pairs": lambda: entrymod.q_substring_pairs(spark, SF_DIR),
+        # distributed suffix-array pass (exact capped LCS per doc pair)
+        "substring_lcp": lambda: entrymod.q_substring_lcp_pairs(spark, SF_DIR),
+        # multiprobe hyperplane-LSH near-dup (the no-crossJoin scale path)
+        "embedding_neardup": lambda: entrymod.q_embedding_neardup(spark, SF_DIR),
         "ann_topk": ann_topk,
         "agg_pricing": lambda: entrymod.q_agg_pricing(spark, SF_DIR),
         "join_topk_customers": lambda: entrymod.q_join_topk_customers(spark, SF_DIR),

@@ -435,7 +435,11 @@ def shared_substring_pairs(docs: DataFrame, min_len: int = 32,
                 )
             ).alias("skey"),
         )
-        .dropDuplicates(["doc_id", "skey"])
+        # NO dropDuplicates: a repeated window within one doc yields
+        # duplicate rows, but intra-doc pairs are filtered in the scan and
+        # maxlen is a max — deduping here would cost a full shuffle of the
+        # widest intermediate (suffix strings), recomputed on every DAG
+        # branch below
         .withColumn("bucket", F.substring("skey", 1, min_len))
     )
 
@@ -443,29 +447,46 @@ def shared_substring_pairs(docs: DataFrame, min_len: int = 32,
         empty = pd.DataFrame({"a": pd.Series(dtype=object),
                               "b": pd.Series(dtype=object),
                               "maxlen": pd.Series(dtype="int32")})
-        out = [empty]
-        for _, g in pdf.groupby("bucket", sort=False):
-            g = g.sort_values("skey")
-            sk = g["skey"].tolist()
-            dc = g["doc_id"].tolist()
-            m = len(sk)
-            if m < 2 or len(set(dc)) < 2:
+        n = len(pdf)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values(["bucket", "skey"]).reset_index(drop=True)
+        # ONE vectorized adjacent-LCP pass over the whole call: numpy 'U'
+        # arrays are fixed-width UCS4 (zero-padded), so first-mismatch over
+        # uint32 codepoints is the LCP, clipped to the true string lengths
+        # (two equal strings of length L < prefix_cap must report L, not the
+        # padded width). Bucket boundaries are masked afterwards — iterating
+        # pandas groups per 32-gram was the round-2 hotspot.
+        arr = np.array(pdf["skey"].tolist(), dtype=f"U{prefix_cap}")
+        u = arr.view(np.uint32).reshape(n, -1)
+        neq = u[1:] != u[:-1]
+        lcp_adj = np.where(neq.any(axis=1), neq.argmax(axis=1), u.shape[1])
+        lens = pdf["skey"].str.len().to_numpy()
+        lcp_adj = np.minimum(lcp_adj, np.minimum(lens[1:], lens[:-1]))
+        bk = pdf["bucket"].to_numpy()
+        docs = pdf["doc_id"].to_numpy()
+        bounds = np.concatenate(
+            [[0], np.nonzero(bk[1:] != bk[:-1])[0] + 1, [n]]
+        )
+        # accumulate RAW arrays per group and build ONE frame per call —
+        # a pandas DataFrame + groupby per tiny group (~400us each over
+        # tens of thousands of 2-4 row buckets) was 40 of the op's 50
+        # seconds at sf0.1
+        los, his, vals = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = e - s
+            if m < 2:
                 continue
+            dc = docs[s:e]
             if m > group_cap:
                 uniq = sorted(set(dc))
-                out.append(pd.DataFrame({
-                    "a": uniq[:-1], "b": uniq[1:],
-                    "maxlen": np.full(len(uniq) - 1, min_len, dtype="int32"),
-                }))
+                if len(uniq) > 1:
+                    ua = np.asarray(uniq)
+                    los.append(ua[:-1])
+                    his.append(ua[1:])
+                    vals.append(np.full(len(uniq) - 1, min_len, dtype=np.int64))
                 continue
-            lcps = np.empty(m - 1, dtype=np.int64)
-            for i in range(m - 1):
-                x, y = sk[i], sk[i + 1]
-                n = min(len(x), len(y))
-                j = 0
-                while j < n and x[j] == y[j]:
-                    j += 1
-                lcps[i] = j
+            lcps = lcp_adj[s:e - 1]
             ai, vv = [], []
             for i in range(m - 1):
                 ai.append(np.full(m - 1 - i, i, dtype=np.int64))
@@ -475,18 +496,37 @@ def shared_substring_pairs(docs: DataFrame, min_len: int = 32,
             idx_j = idx_i + np.concatenate(
                 [np.arange(1, m - i, dtype=np.int64) for i in range(m - 1)]
             )
-            da = np.asarray(dc, dtype=object)
-            xa, xb = da[idx_i], da[idx_j]
+            xa, xb = dc[idx_i], dc[idx_j]
             keep = xa != xb
-            lo = np.where(xa[keep] < xb[keep], xa[keep], xb[keep])
-            hi = np.where(xa[keep] < xb[keep], xb[keep], xa[keep])
-            out.append(
-                pd.DataFrame({"a": lo, "b": hi, "maxlen": v[keep]})
-                .groupby(["a", "b"], as_index=False)["maxlen"].max()
-                .astype({"maxlen": "int32"})
+            if not keep.any():
+                continue
+            los.append(np.where(xa[keep] < xb[keep], xa[keep], xb[keep]))
+            his.append(np.where(xa[keep] < xb[keep], xb[keep], xa[keep]))
+            vals.append(v[keep])
+        if not los:
+            return empty
+        return (
+            pd.DataFrame(
+                {
+                    "a": np.concatenate(los),
+                    "b": np.concatenate(his),
+                    "maxlen": np.concatenate(vals),
+                }
             )
-        return pd.concat(out, ignore_index=True)
+            .groupby(["a", "b"], as_index=False)["maxlen"].max()
+            .astype({"maxlen": "int32"})
+        )
 
+    # JVM-side prefilter: only buckets holding >= 2 suffixes can pair, and
+    # singleton buckets are the overwhelming majority of a text corpus
+    # (~95% at sf0.1) — dropping them before the Python stage removes ~95%
+    # of the Arrow transfer. One extra shuffle on the bucket key, repaid
+    # many times over.
+    multi = (
+        suffixes.groupBy("bucket").count().where(F.col("count") >= 2)
+        .select("bucket")
+    )
+    suffixes = suffixes.join(multi, "bucket", "left_semi")
     # salt-bucketed invocation (one Python call per hash bucket of suffix
     # buckets, not per 32-gram): same trick as the refine/consensus stages
     id_type = docs.schema[id_col].dataType.simpleString()
