@@ -269,6 +269,41 @@ def q_dedup_clusters(spark, sf_dir):
     return res["clusters"]
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k — the data-adaptive scale path next to the
+    hyperplane-LSH one (rows-only: approximate, no SQL twin; recall vs the
+    exact oracle is pytest-gated in tests/test_annsearch_vec.py)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return annsearch.ivf_topk(emb, queries, k=5, dim=64,
+                              n_centroids=32, n_probe=4)
+
+
+def q_multitier_clusters(spark, sf_dir):
+    """North-rule multi-signal merge over the documents table: caption
+    MinHash edges ∪ substring-containment edges ∪ long-shared-region edges
+    (the two exact tiers) -> one CC + size-constrained breaking pass.
+    Rows-only (the merged-graph semantics has no single-SQL twin; each
+    ingredient is oracle-checked separately and the merge is pytest-gated
+    in tests/test_job_multitier.py)."""
+    images = _docs_as_images(spark, sf_dir)
+    caps = images.select("image_id", "caption")
+    sub = textops.suffix_candidates(
+        caps, prefix_len=24, min_suffix=16,
+        id_col="image_id", text_col="caption",
+    ).select(F.col("contained").alias("a"), F.col("container").alias("b"))
+    lcp = textops.shared_substring_pairs(
+        caps, min_len=32, prefix_cap=48, id_col="image_id", text_col="caption",
+    ).select("a", "b")
+    res = clusterbreak_spark(
+        images, PARITY.with_(size_max=50, size_min=1),
+        extra_edges=sub.unionByName(lcp),
+    )
+    return res["clusters"]
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 10).select(
@@ -390,7 +425,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidates": q_lsh_candidates,
         "dedup_clusters": q_dedup_clusters,
+        "multitier_clusters": q_multitier_clusters,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "pixel_dedup_clusters": q_pixel_dedup_clusters,
         "image_features": q_image_features,
         "incremental_matches": q_incremental_matches,

@@ -311,6 +311,115 @@ def neardup_lsh_pairs(
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame, n_centroids: int, dim: int,
+    seed: int = 777, iters: int = 8, sample_max: int = 20_000,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: Lloyd k-means on a bounded,
+    deterministic sample (the ``sample_max`` lowest ids — reproducible
+    across runs and partitionings, unlike RDD sampling), spherical
+    (centroids L2-normalized each round, so assignment by max dot product
+    == max cosine). The collect is BOUNDED (sample_max rows) — the same
+    driver-side-bounded pattern as the threshold estimator; at 10^12 rows
+    the quantizer still trains on sample_max rows.
+
+    Returns (n_centroids, dim) float64, rows L2-normalized.
+    """
+    sample = (
+        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id")
+        .limit(sample_max)
+        .collect()
+    )
+    x = np.array([r["_v"] for r in sample], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    # kmeans++-style seeded init on the normalized sample
+    k = min(n_centroids, len(x))
+    cents = [x[int(rng.integers(0, len(x)))]]
+    for _ in range(1, k):
+        d2 = np.min(
+            [1.0 - x @ c for c in cents], axis=0
+        )  # cosine distance to nearest chosen
+        d2 = np.maximum(d2, 0)
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        cents.append(x[int(rng.choice(len(x), p=probs))])
+    c = np.array(cents)
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(k):
+            mem = x[assign == j]
+            if len(mem):
+                c[j] = mem.mean(axis=0)
+        c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-30)
+    return c
+
+
+def _ivf_assign_col(centroids: np.ndarray, vec_col: str, n_probe: int = 1):
+    """array<int> of the ``n_probe`` nearest centroid ids (by cosine),
+    vectorized pandas UDF; centroids ship in the closure (k*dim*8 bytes)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    c = centroids.astype(np.float64)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _probe(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = m @ c.T
+        if n_probe == 1:
+            top = np.argmax(sims, axis=1)[:, None]
+        else:
+            p = min(n_probe, sims.shape[1])
+            top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    return _probe(F.col(vec_col))
+
+
+def ivf_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int, dim: int,
+    n_centroids: int = 64, n_probe: int = 4, seed: int = 777,
+    id_col: str = "vec_id", vec_col: str = "embedding", qid_col: str = "qid",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k (the data-adaptive alternative to ann_lsh_topk):
+    corpus rows live in their single nearest coarse cell; each query probes
+    its ``n_probe`` nearest cells; exact cosine runs on candidates only.
+
+    Plan shape: one equi-join on the int cell id (corpus shuffled once by
+    cell; query side exploded n_probe ways) — no crossJoin. Cell skew is
+    data-dependent; n_centroids scales with corpus size to keep cells ~
+    n/n_centroids (and AQE skew-join splits hot cells at runtime).
+    Returns (qid, vec_id, cosine_r, rnk).
+    """
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, n_centroids, dim, seed=seed,
+                                  id_col=id_col, vec_col=vec_col)
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("nvec"),
+        F.element_at(_ivf_assign_col(centroids, vec_col, n_probe=1), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(qid_col).alias("qid"), F.col(vec_col).alias("qvec"),
+        F.explode(_ivf_assign_col(centroids, vec_col, n_probe=n_probe)).alias("cell"),
+    )
+    cands = (
+        q.join(corpus, "cell")
+        .where(F.col("qid") != F.col("vec_id"))
+        .dropDuplicates(["qid", "vec_id"])
+    )
+    scored = with_cosine(cands)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("qid", "vec_id", F.round("cosine", 5).alias("cosine_r"), "rnk")
+    )
+
+
 def embedding_stats(embeddings: DataFrame, id_col: str = "vec_id",
                     vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
     """Per-label count + mean L2 norm (rounded for oracle hashing)."""

@@ -151,3 +151,40 @@ def test_neardup_lsh_hot_group_capped(spark):
     for a, b in got:
         parent[find(a)] = find(b)
     assert len({find(i) for i in range(n)}) == 1
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    """IVF (32 cells, 4 probes) on a clustered corpus: top-5 recall vs the
+    exact crossJoin oracle >= 0.9, and the result is deterministic."""
+    rng = np.random.Generator(np.random.PCG64(8))
+    centers = rng.standard_normal((16, 64))
+    vecs = []
+    for i in range(400):
+        c = centers[i % 16]
+        vecs.append((c + rng.standard_normal(64) * 0.25).astype(np.float32))
+    emb = _emb_df(spark, vecs)
+    queries = emb.where("vec_id < 20").selectExpr("vec_id as qid", "embedding")
+    exact = {
+        (r.qid, r.vec_id)
+        for r in annsearch.cosine_topk(emb, queries, k=5).collect()
+    }
+    got1 = annsearch.ivf_topk(emb, queries, k=5, dim=64,
+                              n_centroids=32, n_probe=4).collect()
+    approx = {(r.qid, r.vec_id) for r in got1}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
+    got2 = annsearch.ivf_topk(emb, queries, k=5, dim=64,
+                              n_centroids=32, n_probe=4).collect()
+    assert sorted(map(tuple, got1)) == sorted(map(tuple, got2))
+
+
+def test_ivf_topk_plan_has_no_cartesian_join(spark):
+    rng = np.random.Generator(np.random.PCG64(9))
+    emb = _emb_df(spark, rng.standard_normal((60, 64)).astype(np.float32))
+    queries = emb.where("vec_id < 5").selectExpr("vec_id as qid", "embedding")
+    q = annsearch.ivf_topk(emb, queries, k=3, dim=64, n_centroids=8, n_probe=2)
+    plan = q._jdf.queryExecution().explainString(
+        q._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
