@@ -111,3 +111,84 @@ def start_dedup_stream(
         .outputMode("append")
         .start()
     )
+
+
+def stateful_stream_dedup(stream: DataFrame, id_col: str = "image_id",
+                          fp_col: str | None = None) -> DataFrame:
+    """WITHIN-stream first-seen dedup — the custom stateful operator the
+    stream-static join cannot express: two copies of the same content
+    arriving in different micro-batches both miss the static corpus, so
+    their duplicate relation lives in STREAM STATE.
+
+    ``applyInPandasWithState`` keyed by an exact content fingerprint
+    (xxhash64 of the caption by default, or any precomputed fingerprint
+    column, e.g. phash): per key, state holds (first-seen image_id, number
+    seen); each arriving row is emitted as (image_id, fp, dup_of, n_prior)
+    where dup_of is NULL for the first-ever occurrence. Deterministic
+    within a micro-batch (rows processed in sorted image_id order). State
+    is checkpointed by the engine — kill-and-resume keeps first-seen
+    attribution exactly-once, the stateful twin of StageRunner's contract.
+
+    At 10^12 rows, state is partitioned by the fingerprint key across
+    executors (RocksDB state store in production configs); per-key state is
+    a constant-size tuple, so total state ~ distinct contents, not rows.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    fp = F.col(fp_col) if fp_col else F.xxhash64("caption")
+    src = stream.select(F.col(id_col).alias("image_id"), fp.alias("fp"))
+
+    def dedup_fn(key, pdfs, state):
+        import pandas as pd
+
+        fp_val = key[0]
+        first_id, cnt = state.get if state.exists else (None, 0)
+        out_ids, out_dup, out_prior = [], [], []
+        for pdf in pdfs:
+            for iid in sorted(pdf["image_id"].tolist()):
+                out_ids.append(iid)
+                out_dup.append(first_id)
+                out_prior.append(cnt)
+                if first_id is None:
+                    first_id = iid
+                cnt += 1
+        state.update((first_id, cnt))
+        yield pd.DataFrame(
+            {"image_id": out_ids,
+             "fp": [fp_val] * len(out_ids),
+             "dup_of": out_dup,
+             "n_prior": out_prior}
+        )
+
+    return src.groupBy("fp").applyInPandasWithState(
+        dedup_fn,
+        "image_id string, fp long, dup_of string, n_prior int",
+        "first_id string, cnt int",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def windowed_ingest_stats(stream: DataFrame, ts_col: str = "ts",
+                          window: str = "10 seconds",
+                          watermark: str = "30 seconds") -> DataFrame:
+    """Event-time windowed ingest statistics with late-data handling:
+    per (window, fmt) counts + mean caption length. The watermark bounds
+    state (windows older than max(event_time) - watermark are finalized
+    and dropped) and discards late rows beyond it — the standard
+    Structured Streaming pattern the reference (batch-only) has no twin
+    for. Append output mode: a window row is emitted exactly once, when
+    the watermark passes its end."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col("fmt"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.length("caption")), 3).alias("avg_caption_len"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "fmt", "n", "avg_caption_len",
+        )
+    )
