@@ -434,6 +434,7 @@ def clusterbreak_spark(
     edges = threshold_edges(prs, thr)
     xtra = None
     if extra_edges is not None:
+        t0 = _time.time()
         xtra = (
             extra_edges.select(
                 F.least("a", "b").alias("a"),
@@ -456,6 +457,9 @@ def clusterbreak_spark(
             # set is small (verified candidates), so an eager cut is cheap.
             .localCheckpoint()
         )
+        if profile is not None:
+            profile["tier_edges"] = round(_time.time() - t0, 3)
+        t0 = _time.time()
         # merged-graph weights: max(caption sim, 1.0 for a tier edge) — tier
         # edges always survive thresholding (thr <= 1), and the SAME weights
         # feed wsum/comp_w below and the refine/distributed recursion, so
@@ -467,6 +471,8 @@ def clusterbreak_spark(
             .agg(F.max("sim").alias("sim"))
             .localCheckpoint()
         )
+        if profile is not None:
+            profile["tier_merge"] = round(_time.time() - t0, 3)
 
     t0 = _time.time()
     comp, cc_rounds = connected_components(edges)

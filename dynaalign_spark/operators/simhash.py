@@ -202,10 +202,25 @@ def decode_features(images: DataFrame, grid: int = 8) -> DataFrame:
     )
 
 
+def pixel_edges(images: DataFrame, cfg: DedupConfig, verify_psnr: bool = False,
+                grid: int = 16) -> DataFrame:
+    """Pixel-tier edges only: simhash -> Hamming candidates -> (optional)
+    PSNR verify. LAZY — unlike dedup_pixels, nothing is materialized, so
+    callers that merge these edges into the flagship clusterbreak
+    (jobs/dedup.py --pixel-tier, bench dedup_multitier) don't pay for a
+    standalone pixel connected-components pass they never read
+    (connected_components checkpoints eagerly at call time)."""
+    sh = add_simhash(images, cfg, grid=grid)
+    cands = simhash_candidates(sh, cfg)
+    return psnr_verify_pairs(cands, images, cfg) if verify_psnr else cands
+
+
 def dedup_pixels(images: DataFrame, cfg: DedupConfig, verify_psnr: bool = False,
                  grid: int = 16) -> dict:
     """Pixel-tier dedup: simhash -> Hamming candidates -> (optional) PSNR
-    verify -> connected components. Returns dict of stage DataFrames."""
+    verify -> connected components. Returns dict of stage DataFrames.
+    EAGER (CC checkpoints at call time) — use pixel_edges() when only the
+    edge set is needed."""
     from .components import connected_components
 
     sh = add_simhash(images, cfg, grid=grid).persist()

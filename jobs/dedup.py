@@ -39,8 +39,7 @@ from dynaalign_spark.operators.consensus import cluster_representatives
 from dynaalign_spark.operators.lsh import candidate_pairs
 from dynaalign_spark.operators.signatures import add_signatures
 from dynaalign_spark.operators.simhash import (
-    add_simhash,
-    dedup_pixels,
+    pixel_edges,
     row_invariant_violations,
 )
 from dynaalign_spark.session import get_spark
@@ -107,7 +106,7 @@ def main(argv=None):
     if args.pixel_tier:
         extra = runner.run(
             "pixel_edges",
-            lambda: dedup_pixels(images, cfg)["edges"].select("a", "b"),
+            lambda: pixel_edges(images, cfg, verify_psnr=True).select("a", "b"),
         )
     if args.substring_tier:
         from dynaalign_spark.textops import suffix_candidates
