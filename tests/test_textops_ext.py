@@ -225,3 +225,36 @@ def test_shared_substring_pairs_hot_bucket_degrades_to_chain(spark):
     for a, b in pairs:
         parent[find(a)] = find(b)
     assert len({find(i) for i in range(n)}) == 1  # connectivity preserved
+
+
+def test_unicode_captions_parity_and_ops(spark):
+    """Web corpora are not ASCII: the shared polynomial k-gram hash must
+    treat non-ASCII codepoints identically in Spark and DuckDB (both
+    ascii()/length() are codepoint-based), and the suffix-array tier must
+    pair unicode shared regions (numpy UCS4 view)."""
+    import duckdb
+
+    from dynaalign_spark.textops import simhash_captions
+
+    region = "日本語のテキスト共有領域 — caractères unicode"
+    docs = [
+        (0, "préfixe " + region + " suffixe à moi"),
+        (1, "другой заголовок " + region + " конец строки"),
+        (2, "nur ascii text haben wir hier wirklich nicht ü"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # k-gram simhash: Spark vs the DuckDB oracle SQL on the same rows
+    import __spark_entry__ as E
+
+    got = {(r.doc_id, r.simhash) for r in simhash_captions(df).collect()}
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    want = {tuple(t) for t in con.sql(E.oracle_sql()["simhash_captions"]).fetchall()}
+    assert got == want
+    # suffix-array: the unicode shared region pairs docs 0 and 1
+    pairs = {(r.a, r.b): r.maxlen
+             for r in textops.shared_substring_pairs(
+                 df, min_len=16, prefix_cap=32).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 32
