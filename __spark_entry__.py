@@ -281,6 +281,24 @@ def q_ann_ivf_topk(spark, sf_dir):
                               n_centroids=32, n_probe=4)
 
 
+def q_audio_features(spark, sf_dir):
+    """Audio modality plumbing (rows-only: the corpus is the deterministic
+    seeded synthetic pcm16 table — testdata ships no audio; numpy-exact
+    feature parity is pytest-gated in tests/test_multimodal.py)."""
+    from dynaalign_spark import multimodal as mm
+
+    df = spark.createDataFrame(mm.make_audio_rows(64, seed=3), mm.AUDIO_SCHEMA)
+    return mm.audio_features(df)
+
+
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing (rows-only; see q_audio_features)."""
+    from dynaalign_spark import multimodal as mm
+
+    df = spark.createDataFrame(mm.make_video_rows(32, seed=4), mm.VIDEO_SCHEMA)
+    return mm.frame_sample(df, stride=4).drop("frame")
+
+
 def q_multitier_clusters(spark, sf_dir):
     """North-rule multi-signal merge over the documents table: caption
     MinHash edges ∪ substring-containment edges ∪ long-shared-region edges
@@ -430,6 +448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "pixel_dedup_clusters": q_pixel_dedup_clusters,
         "image_features": q_image_features,
+        "audio_features": q_audio_features,
+        "frame_sample": q_frame_sample,
         "incremental_matches": q_incremental_matches,
         "cluster_consensus": q_cluster_consensus,
         "nw_similarity": q_nw_similarity,
