@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from dynaalign_spark import annsearch, textops  # noqa: E402
+from dynaalign_spark import annsearch, rpath, textops  # noqa: E402
 from dynaalign_spark.config import PARITY  # noqa: E402
 from dynaalign_spark.operators.clusterbreak import clusterbreak_spark  # noqa: E402
 from dynaalign_spark.operators.lsh import candidate_pairs  # noqa: E402
@@ -152,6 +152,52 @@ def q_substring_lcp_pairs(spark, sf_dir):
 
 def q_winnow_fingerprints(spark, sf_dir):
     return textops.winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)
+
+
+def q_char_matrix(spark, sf_dir):
+    """Characteristic-matrix memberships (create_char_matrix,
+    R/minHash.R:60-66): the (vocab_idx, doc_id) 1-entries, sparse form."""
+    return rpath.char_matrix_pairs(_docs(spark, sf_dir), K)
+
+
+def q_minhash_r_components(spark, sf_dir):
+    """R-path signature matrix, long form (compute_signature_matrix,
+    R/minHash.R:126-143): vocab-INDEX hashing (a*i+b) mod |vocab| — the
+    documented R/C++ divergence (quirk Q3), now shipped as an explicit
+    variant op. Cell-exact DuckDB twin."""
+    return rpath.signatures_r(_docs(spark, sf_dir), K, PARITY.n_hash, PARITY.seeds)
+
+
+def q_minhash_r_distance(spark, sf_dir):
+    """R-path dense distance matrix as pairs (compute_distance_matrix,
+    R/minHash.R:166-182): 1 - agreement over ALL doc pairs. Dense O(n^2) by
+    reference construction — parity/test-scale twin."""
+    return rpath.distance_r_pairs(
+        _docs(spark, sf_dir), K, PARITY.n_hash, PARITY.seeds
+    ).select("a", "b", F.round("dist", 9).alias("dist_r"))
+
+
+def q_minhash_components(spark, sf_dir):
+    """C++-path signature matrix, long form (src/minHash.cpp:140-158): one
+    row per (doc, hash) cell. The DuckDB twin recomputes murmur3_32 of every
+    4-byte shingle in pure SQL (hugeint modular arithmetic) with the same
+    frozen seeds, so every cell is value-checked — upgrading the signature
+    op from rows-only to hash-exact."""
+    sig = add_signatures(_docs_as_images(spark, sf_dir), PARITY)
+    return sig.where(F.col("minhash").isNotNull()).select(
+        "image_id", F.posexplode("minhash").alias("h", "comp")
+    )
+
+
+def q_cc_components(spark, sf_dir):
+    """Iterative large-star/small-star connected components over the exact
+    n-gram Jaccard edges (the CC operator alone, value-checked against a
+    DuckDB recursive-CTE reachability oracle: component = min reachable id)."""
+    from dynaalign_spark.operators.components import connected_components
+
+    edges = _jaccard_pairs(spark, sf_dir).select("a", "b")
+    labels, _ = connected_components(edges)
+    return labels.select(F.col("image_id").alias("doc_id"), "component")
 
 
 def q_simhash_captions(spark, sf_dir):
@@ -430,6 +476,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_pairs": q_substring_pairs,
         "substring_lcp_pairs": q_substring_lcp_pairs,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "char_matrix": q_char_matrix,
+        "minhash_r_components": q_minhash_r_components,
+        "minhash_r_distance": q_minhash_r_distance,
+        "minhash_components": q_minhash_components,
+        "cc_components": q_cc_components,
         "simhash_captions": q_simhash_captions,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
@@ -540,6 +591,86 @@ def _duck_simhash(k: int) -> str:
         f"from documents where length(text) >= {k}), "
         f"memb as (select doc_id, h, (h * {POLY_B2}) % {POLY_M2} as h2 from memb0) "
         f"select doc_id, ({bits})::bigint as simhash from memb group by doc_id"
+    )
+
+
+# ---- DuckDB twins of the two signature paths (R vocab-index / C++ murmur3)
+
+
+def _duck_memb(k: int) -> str:
+    """Distinct (doc_id, shingle) membership pairs."""
+    return (
+        f"select distinct doc_id, substr(text, i, {k}) as s "
+        f"from (select doc_id, text, "
+        f"unnest(generate_series(1, length(text) - {k} + 1)) as i "
+        f"from documents where length(text) >= {k})"
+    )
+
+
+def _duck_rpath_cte(k: int) -> str:
+    """Shared CTE prefix: memb / sorted-indexed vocab / vocab size."""
+    return (
+        f"with memb as ({_duck_memb(k)}), "
+        "vd as (select distinct s from memb), "
+        "v as (select s, row_number() over (order by s) as idx from vd), "
+        "msz as (select count(*) as m from vd)"
+    )
+
+
+def _duck_rpath_sig(k: int) -> str:
+    """R-path signatures long form: pinned (a,b) derived in SQL from the
+    frozen seed table with the same formula as rpath.hash_params —
+    a = (seed % m) + 1, b = (seed * KNUTH mod 2^32) mod (m + 1)."""
+    from dynaalign_spark.rpath import KNUTH
+
+    seeds = ", ".join(f"({h}, {s})" for h, s in enumerate(PARITY.seeds))
+    return (
+        f"{_duck_rpath_cte(k)}, "
+        f"sd(h, sv) as (values {seeds}), "
+        f"p as (select h, (sv % m) + 1 as a, "
+        f"(((sv::hugeint * {KNUTH}) % 4294967296)::bigint) % (m + 1) as b, m "
+        f"from sd cross join msz), "
+        "sig as (select memb.doc_id, p.h, "
+        "min((p.a * v.idx + p.b) % p.m) as comp "
+        "from memb join v using(s) cross join p group by 1, 2) "
+    )
+
+
+def _duck_murmur_sig(k: int) -> str:
+    """C++-path signatures long form: murmur3_32 of every distinct 4-byte
+    shingle for all 50 frozen seeds, in pure SQL. A k=4 ASCII shingle is
+    exactly one murmur block (no tail), so the algorithm (reference
+    src/minHash.cpp:21-64) is: one block mix + length xor + final avalanche,
+    all in hugeint modular arithmetic. Distinct shingles are hashed once
+    (vocab ~50k x 50 seeds), then joined back to memberships and min-folded
+    per (doc, seed) — the same dedup-then-segmented-min the Spark UDF uses
+    (hashing.py:_hash_tokens_min)."""
+    assert k == 4, "single-block murmur oracle requires 4-byte shingles"
+    seeds = ", ".join(f"({h}, {s})" for h, s in enumerate(PARITY.seeds))
+    return (
+        f"with memb as ({_duck_memb(k)}), "
+        "vd as (select distinct s from memb), "
+        # little-endian u32 load of the 4 ASCII bytes
+        "b0 as (select s, (ascii(substr(s,1,1)) + ascii(substr(s,2,1))*256 "
+        "+ ascii(substr(s,3,1))*65536 + ascii(substr(s,4,1))*16777216)::bigint "
+        "as k0 from vd), "
+        f"sd(h, seed) as (values {seeds}), "
+        # block mix: k1 = rotl15(k0*C1)*C2
+        "m1 as (select s, k0, ((k0::hugeint * 3432918353) % 4294967296)::bigint as k1 from b0), "
+        "m2 as (select s, (((k1 * 32768) % 4294967296) | (k1 // 131072)) as k2 from m1), "
+        "m3 as (select s, ((k2::hugeint * 461845907) % 4294967296)::bigint as k3 from m2), "
+        # per-seed: h = rotl13(seed ^ k1)*5 + N, then ^len and avalanche
+        "m4 as (select s, h, xor(seed, k3) as v1 from m3 cross join sd), "
+        "m5 as (select s, h, (((v1 * 8192) % 4294967296) | (v1 // 524288)) as v2 from m4), "
+        "m6 as (select s, h, ((v2::hugeint * 5 + 3864292196) % 4294967296)::bigint as v3 from m5), "
+        f"f1 as (select s, h, xor(v3, {k}) as w0 from m6), "
+        "f2 as (select s, h, xor(w0, w0 // 65536) as w1 from f1), "
+        "f3 as (select s, h, ((w1::hugeint * 2246822507) % 4294967296)::bigint as w2 from f2), "
+        "f4 as (select s, h, xor(w2, w2 // 8192) as w3 from f3), "
+        "f5 as (select s, h, ((w3::hugeint * 3266489909) % 4294967296)::bigint as w4 from f4), "
+        "hh as (select s, h, xor(w4, w4 // 65536) as hv from f5), "
+        "sig as (select 'doc' || lpad(memb.doc_id::varchar, 8, '0') as image_id, "
+        "hh.h, min(hh.hv) as comp from memb join hh using(s) group by 1, 2) "
     )
 
 
@@ -660,6 +791,46 @@ def oracle_sql() -> dict[str, str]:
             "and x.doc_id < y.doc_id group by 1, 2"
         ),
         "winnow_fingerprints": _duck_winnow(8, 4),
+        "char_matrix": (
+            f"{_duck_rpath_cte(K)} "
+            "select v.idx, memb.doc_id from memb join v using(s)"
+        ),
+        "minhash_r_components": (
+            f"{_duck_rpath_sig(K)} select doc_id, h::int as h, comp from sig"
+        ),
+        "minhash_r_distance": (
+            f"{_duck_rpath_sig(K)}, "
+            "ids as (select distinct doc_id from sig), "
+            "ap as (select x.doc_id as a, y.doc_id as b from ids x "
+            "join ids y on x.doc_id < y.doc_id), "
+            "mt as (select x.doc_id as a, y.doc_id as b, count(*) as cnt "
+            "from sig x join sig y on x.h = y.h and x.comp = y.comp "
+            "and x.doc_id < y.doc_id group by 1, 2) "
+            "select ap.a, ap.b, "
+            f"round(1.0 - coalesce(mt.cnt, 0) / {float(PARITY.n_hash)}, 9) as dist_r "
+            "from ap left join mt on ap.a = mt.a and ap.b = mt.b"
+        ),
+        "minhash_components": (
+            f"{_duck_murmur_sig(K)} select image_id, h::int as h, comp from sig"
+        ),
+        "lsh_candidates": (
+            f"{_duck_murmur_sig(K)}, "
+            "ag as (select x.image_id as a, y.image_id as b, count(*) as cnt "
+            "from sig x join sig y on x.h = y.h and x.comp = y.comp "
+            "and x.image_id < y.image_id group by 1, 2) "
+            f"select a, b, round(cnt / {float(PARITY.n_hash)}, 9) as sim_r from ag"
+        ),
+        "cc_components": (
+            f"with recursive e0 as (select a, b from ({_JPAIRS})), "
+            "e as (select a as x, b as y from e0 "
+            "union select b as x, a as y from e0), "
+            "vx as (select distinct x as doc_id from e), "
+            "reach(doc_id, r) as ("
+            " select doc_id, doc_id from vx"
+            " union"
+            " select reach.doc_id, e.y from reach join e on e.x = reach.r) "
+            "select doc_id, min(r) as component from reach group by doc_id"
+        ),
         "simhash_captions": _duck_simhash(4),
         "simhash_pairs": (
             f"with s as ({_duck_simhash(4)}) "

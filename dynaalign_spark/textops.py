@@ -44,11 +44,14 @@ def shingle_explode(docs: DataFrame, k: int, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """(id, shingle) — one row per overlapping k-gram, order preserved by
     position; rows with len < k produce nothing (C++ sentinel, quirk Q2)."""
+    # NB: Spark's sequence(1, 0) is DESCENDING ([1, 0]), so the
+    # `greatest(..., 0)` guard alone would emit two truncated shingles for
+    # rows with len < k; the explicit filter enforces the empty-set sentinel
     expr = (
-        f"transform(sequence(1, greatest(length({text_col}) - {k} + 1, 0)), "
+        f"transform(sequence(1, length({text_col}) - {k} + 1), "
         f"i -> substring({text_col}, i, {k}))"
     )
-    return docs.select(
+    return docs.where(F.length(text_col) >= k).select(
         F.col(id_col).alias("doc_id"), F.explode(F.expr(expr)).alias("shingle")
     )
 
@@ -153,9 +156,11 @@ def ngram_jaccard_pairs_lsh(
     # than over strings; xxhash64 collisions (~n_shingles^2 / 2^64) are
     # negligible, and the value-exact relational form remains the oracle tier
     sets_expr = (
+        f"case when length({text_col}) >= {k} then "
         f"array_sort(array_distinct(transform("
-        f"sequence(1, greatest(length({text_col}) - {k} + 1, 0)), "
-        f"i -> xxhash64(substring({text_col}, i, {k})))))"
+        f"sequence(1, length({text_col}) - {k} + 1), "
+        f"i -> xxhash64(substring({text_col}, i, {k}))))) "
+        f"else array() end"
     )
     sets = docs.select(
         F.col(id_col).cast("string").alias("doc_id"),
@@ -301,11 +306,15 @@ def _kgram_hashes_expr(text_col: str, k: int) -> str:
     (the rolling-hash form of the reference's shingle op, R/minHash.R:12-23,
     with content hashing per quirk Q3)."""
     pows = ", ".join(f"{p}L" for p in _poly_pows(k))
+    # `case when` guard, not greatest(..., 0): Spark's sequence(1, 0) is
+    # descending ([1, 0]) and would emit two bogus windows for short rows
     return (
-        f"transform(sequence(1, greatest(length({text_col}) - {k} + 1, 0)), "
+        f"case when length({text_col}) >= {k} then "
+        f"transform(sequence(1, length({text_col}) - {k} + 1), "
         f"i -> aggregate(sequence(0, {k - 1}), 0L, "
         f"(acc, j) -> acc + ascii(substring({text_col}, i + j, 1)) "
-        f"* element_at(array({pows}), j + 1)) % {POLY_M})"
+        f"* element_at(array({pows}), j + 1)) % {POLY_M}) "
+        f"else array() end"
     )
 
 
@@ -557,10 +566,10 @@ def suffix_candidates(docs: DataFrame, prefix_len: int, min_suffix: int = 8,
     similarityNW, src/pairwiseSeqAlign.cpp:331-365 — SURVEY.md §2.4).
     """
     expr = (
-        f"transform(sequence(1, greatest(length({text_col}) - {min_suffix} + 1, 0)),"
+        f"transform(sequence(1, length({text_col}) - {min_suffix} + 1),"
         f" i -> substring({text_col}, i, {prefix_len}))"
     )
-    suffixes = docs.select(
+    suffixes = docs.where(F.length(text_col) >= min_suffix).select(
         F.col(id_col).alias("container"),
         F.explode(F.expr(expr)).alias("skey"),
     ).dropDuplicates(["container", "skey"])
