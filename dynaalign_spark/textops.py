@@ -124,6 +124,7 @@ def ngram_jaccard_pairs_lsh(
     docs: DataFrame, k: int, threshold: float,
     n_hash: int = 50, bands: int = 25,
     id_col: str = "doc_id", text_col: str = "text",
+    est_floor: float | None = None,
 ) -> DataFrame:
     """Scale path for the exact-Jaccard tier: MinHash-LSH candidate
     generation + exact set-intersection verification.
@@ -137,7 +138,17 @@ def ngram_jaccard_pairs_lsh(
     jaccard=t is 1-(1-t^r)^b (r=n_hash/bands); defaults give ~96% at t=0.5
     and prune ~97-98% of the j<0.2 mass. Pairs below LSH detection are the
     only loss — values of returned pairs are exact.
+
+    ``est_floor``: the candidate generator already computes each pair's
+    signature-agreement sim (an unbiased estimate of its jaccard, sd
+    sqrt(t(1-t)/n_hash)); candidates with estimate below the floor are
+    dropped BEFORE the shingle-array fetch + intersect — the widest shuffle
+    of the query. Default: ``threshold - 3.5 sd`` (misses a true
+    j=threshold pair with prob ~2e-4, far below the banding loss itself);
+    pass 0.0 to disable pruning.
     """
+    import math
+
     from .config import DedupConfig
     from .operators.lsh import candidate_pairs
     from .operators.signatures import add_signatures
@@ -145,13 +156,23 @@ def ngram_jaccard_pairs_lsh(
     cfg = DedupConfig(
         k=k, n_hash=n_hash, bands=bands, rows_per_band=n_hash // bands,
     )
+    if est_floor is None:
+        est_floor = max(
+            0.0, threshold - 3.5 * math.sqrt(threshold * (1 - threshold) / n_hash)
+        )
     as_images = docs.select(
         F.col(id_col).cast("string").alias("image_id"),
         F.col(text_col).alias("caption"),
         F.lit(None).cast("long").alias("phash"),
     )
     sig = add_signatures(as_images, cfg)
-    cands = candidate_pairs(sig, cfg).select("a", "b")
+    # one cheap count unlocks the broadcast verify join below
+    # sig_broadcast_max (the shuffled join re-shuffles the signature table
+    # per pair side — the widest exchange of the candidate stage)
+    n_rows = docs.count()
+    cands = candidate_pairs(
+        sig, cfg, sim_floor=est_floor, n_rows_hint=n_rows
+    ).select("a", "b")
     # 64-bit hashed shingle sets: array_intersect over longs is far cheaper
     # than over strings; xxhash64 collisions (~n_shingles^2 / 2^64) are
     # negligible, and the value-exact relational form remains the oracle tier
