@@ -711,6 +711,41 @@ def _duck_neardup_lsh(threshold: float, dim: int = 64) -> str:
     )
 
 
+def _duck_ann_lsh_topk(k: int = 5, dim: int = 64, bucket_bits: int = 8,
+                       n_tables: int = 4, seed: int = 777) -> str:
+    """DuckDB twin of annsearch.ann_lsh_topk (q_ann_lsh_topk's pinned
+    config): same inlined-hyperplane left-associated dot products as
+    _duck_neardup_lsh, but candidates join on EXACT bucket equality in any
+    table (not a Hamming ball), then exact cosine + row_number top-k."""
+    from dynaalign_spark.annsearch import hyperplanes
+
+    planes = hyperplanes(dim, bucket_bits * n_tables, seed)
+
+    def dot(b: int) -> str:
+        return " + ".join(f"v[{i + 1}]*{float(planes[i, b])!r}" for i in range(dim))
+
+    key_exprs = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"(case when ({dot(t * bucket_bits + j)}) >= 0 then {1 << j} else 0 end)"
+            for j in range(bucket_bits)
+        )
+        key_exprs.append(f"({bits})::bigint as k{t}")
+    any_tbl = " or ".join(f"q.k{t} = n.k{t}" for t in range(n_tables))
+    return (
+        "with e as (select vec_id, embedding::double[] as v from embeddings), "
+        f"fp as (select vec_id, v, {', '.join(key_exprs)} from e), "
+        "c as (select q.vec_id as qid, n.vec_id as vec_id, "
+        "list_cosine_similarity(q.v, n.v) as cosine "
+        "from fp q join fp n on q.vec_id < 10 and q.vec_id != n.vec_id "
+        f"and ({any_tbl})) "
+        "select qid, vec_id, round(cosine, 5) as cosine_r, rnk from ("
+        " select qid, vec_id, cosine, row_number() over "
+        " (partition by qid order by cosine desc, vec_id) as rnk from c) "
+        f"where rnk <= {k}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "shingle_counts": (
@@ -884,4 +919,23 @@ def oracle_sql() -> dict[str, str]:
             "select p_partkey from part where not exists "
             "(select 1 from lineitem where l_partkey = p_partkey)"
         ),
+        "minhash_signatures": (
+            f"{_duck_murmur_sig(K)} "
+            "select image_id, count(*)::int as sig_len, "
+            "max(case when h = 0 then comp end) as h0 "
+            "from sig group by image_id"
+        ),
+        "incremental_matches": (
+            # r=1 band keys ARE the signature components, so a (new, known)
+            # candidate = >=1 agreeing component and its sim = agreement/50
+            # (self-matches included: a re-ingested doc collides with itself)
+            f"{_duck_murmur_sig(K)}, "
+            "ag as (select x.image_id as new_id, y.image_id as known_id, "
+            "count(*) as cnt from sig x join sig y "
+            "on x.h = y.h and x.comp = y.comp "
+            "where x.image_id < 'doc00000050' group by 1, 2) "
+            f"select new_id, known_id, round(cnt / {float(PARITY.n_hash)}, 9) as sim_r "
+            f"from ag where cnt / {float(PARITY.n_hash)} >= 0.5"
+        ),
+        "ann_lsh_topk": _duck_ann_lsh_topk(),
     }
