@@ -109,3 +109,24 @@ def test_consensus_stage_buckets_clusters(spark):
     assert "hashpartitioning(bucket" in plan
     assert "hashpartitioning(cluster_id" not in plan
     assert reps.count() == 3
+
+
+def test_jaccard_lsh_broadcasts_and_prunes(spark, tmp_path_factory):
+    """ngram_jaccard_pairs_lsh below the broadcast cutoff: the verify joins
+    must broadcast (no corpus-sized shuffle of the signature/shingle sides)
+    and the estimate floor must land in the plan as a sim filter before the
+    shingle-array fetch."""
+    from dynaalign_spark import textops
+
+    path = str(tmp_path_factory.mktemp("plan") / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"the quick brown fox {i % 7} jumps over dog {i}") for i in range(200)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    q = textops.ngram_jaccard_pairs_lsh(docs, 6, threshold=0.5)
+    q.collect()  # finalize the adaptive plan before asserting on it
+    plan = _formatted_plan(q)
+    assert "BroadcastHashJoin" in plan
+    # est_floor pushdown: a >= filter on the agreement sim exists pre-fetch
+    assert "0.25" in plan or ">= 0.2" in plan, "estimate floor missing from plan"
