@@ -48,9 +48,15 @@ def _norm(c: str):
 
 def with_cosine(pairs: DataFrame, a: str = "qvec", b: str = "nvec",
                 out: str = "cosine") -> DataFrame:
-    return pairs.withColumn(
-        out, _dot(a, b) / (_norm(a) * _norm(b))
-    )
+    """cosine = dot/(|a||b|). Norms are read from precomputed per-row
+    ``_na``/``_nb`` columns when present (attach them with ``_norm`` on the
+    SIDES before the pair join: higher-order fns evaluate interpreted, so a
+    norm computed inside the joined plan runs once per PAIR — candidate
+    fan-out times more work than once per vector; bit-identical either way,
+    it is the same expression over the same doubles)."""
+    na = F.col("_na") if "_na" in pairs.columns else _norm(a)
+    nb = F.col("_nb") if "_nb" in pairs.columns else _norm(b)
+    return pairs.withColumn(out, _dot(a, b) / (na * nb)).drop("_na", "_nb")
 
 
 def cosine_topk(
@@ -64,9 +70,11 @@ def cosine_topk(
     scanned once, no shuffle of the corpus; top-k via per-qid window.
     """
     corpus = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("nvec")
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("nvec"),
+        _norm(vec_col).alias("_nb"),
     )
-    q = queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    q = queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("qvec"),
+                       _norm(vec_col).alias("_na"))
     scored = with_cosine(F.broadcast(q).crossJoin(corpus)).where(
         F.col("qid") != F.col("vec_id")
     )
@@ -166,11 +174,13 @@ def ann_lsh_topk(
         ).select(*df.columns, F.col("_key.tbl").alias("tbl"), F.col("_key.bk").alias("bk")).drop("_sh")
 
     corpus = bucket_cols(
-        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("nvec")),
+        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("nvec"),
+                          _norm(vec_col).alias("_nb")),
         "nvec",
     )
     q = bucket_cols(
-        queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("qvec")),
+        queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("qvec"),
+                       _norm(vec_col).alias("_na")),
         "qvec",
     )
     cands = (
@@ -201,8 +211,10 @@ def cosine_neardup_pairs(
     pairs sharing a hyperplane-sign bucket in >= 1 of n_tables tables — the
     shuffle is the bucket equi-join, never a crossJoin.
     """
-    lhs = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("qvec"))
-    rhs = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("nvec"))
+    lhs = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("qvec"),
+                            _norm(vec_col).alias("_na"))
+    rhs = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("nvec"),
+                            _norm(vec_col).alias("_nb"))
     if bucket_bits <= 0:
         cands = lhs.crossJoin(rhs).where(F.col("a") < F.col("b"))
     else:
@@ -302,8 +314,10 @@ def neardup_lsh_pairs(
         for t in range(n_tables)
     )
     cands = banded_pairs(bands, group_cap, chain_width).where(F.expr(band_ok))
-    lhs = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("qvec"))
-    rhs = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("nvec"))
+    lhs = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("qvec"),
+                            _norm(vec_col).alias("_na"))
+    rhs = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("nvec"),
+                            _norm(vec_col).alias("_nb"))
     return (
         with_cosine(cands.select("a", "b").join(lhs, "a").join(rhs, "b"))
         .select("a", "b", F.round("cosine", 5).alias("cosine_r"))
@@ -400,10 +414,12 @@ def ivf_topk(
                                   id_col=id_col, vec_col=vec_col)
     corpus = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("nvec"),
+        _norm(vec_col).alias("_nb"),
         F.element_at(_ivf_assign_col(centroids, vec_col, n_probe=1), 1).alias("cell"),
     )
     q = queries.select(
         F.col(qid_col).alias("qid"), F.col(vec_col).alias("qvec"),
+        _norm(vec_col).alias("_na"),
         F.explode(_ivf_assign_col(centroids, vec_col, n_probe=n_probe)).alias("cell"),
     )
     cands = (
