@@ -344,10 +344,19 @@ def run_scaling() -> dict:
         cmd = [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)]
         if shutil.which("taskset") and (os.cpu_count() or 0) >= cpus:
             cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-        p = subprocess.run(
-            cmd,
-            capture_output=True, text=True, timeout=3600,
-        )
+        # DYNA_WORKER_TIMEOUT: on a throttled hypervisor window the same leg
+        # can run 10x slower (BENCH.md substrate notes) — the 6.4M 8-core leg
+        # measured ~21 min in a healthy window and blew a 60-min timeout in a
+        # crippled one. Fail with a clear message, not a traceback.
+        budget = int(os.environ.get("DYNA_WORKER_TIMEOUT", "3600"))
+        try:
+            p = subprocess.run(cmd, capture_output=True, text=True, timeout=budget)
+        except subprocess.TimeoutExpired:
+            raise SystemExit(
+                f"scaling worker local[{cpus}] exceeded {budget}s — substrate "
+                f"likely throttled (run scripts/membw.py); retry with a smaller "
+                f"DYNA_SCALE_ROWS or larger DYNA_WORKER_TIMEOUT"
+            )
         line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
         out[cpus] = json.loads(line)
     sub["after"] = substrate_eff()
