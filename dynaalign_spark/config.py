@@ -64,7 +64,11 @@ class DedupConfig:
     # R/clusterbreak.R:186): "louvain" = single run at louvain_resolution;
     # "louvain_mod" = the reference's resolution grid-search
     # (R/clusterbreak.R:37-67) over [res*(1-perc), res*(1+perc)] by res_step
-    # with res_itr deterministic restarts per point, keeping max modularity
+    # with res_itr deterministic restarts per point, keeping max modularity;
+    # "cc" = igraph-components stand-in (no modularity refinement, no
+    # size_max recursion) — the parity/oracle tier whose output partition is
+    # exactly the connected components of the thresholded edge set and hence
+    # SQL-expressible (used by the driver's value-exact cluster oracles)
     cluster_fn: str = "louvain"
     res_range_perc: float = 0.0
     res_step: float = 0.0

@@ -85,6 +85,21 @@ def _local_break(ids, sigs: np.ndarray, first_threshold: float, cfg: DedupConfig
 
     def recurse(idx, threshold, m2_total=None):
         itr = counter["itr"]
+        if cfg.cluster_fn == "cc":
+            # Pure connected-component assignment (reference cluster_fn
+            # plugged with igraph components instead of cluster_louvain —
+            # R/clusterbreak.R:186 pluggability): each lvl-1 group IS a
+            # connected component of the thresholded edge set, so the whole
+            # group is one cluster. No modularity refinement and no size_max
+            # recursion (a component cannot be CC-split further); size_min
+            # triage still applies. This is the parity/oracle tier — its
+            # output partition is SQL-expressible (recursive-CTE
+            # reachability), which the Louvain production path is not.
+            status = "filtered" if len(idx) < cfg.size_min else "emitted"
+            for i in idx:
+                out.append((ids[i], f"{itr}.0" if status == "emitted" else None,
+                            status))
+            return
         if itr > cfg.max_itr:
             for i in idx:
                 out.append((ids[i], None, "unconverged"))
@@ -161,7 +176,7 @@ def _refine_factory(cfg: DedupConfig, global_threshold: float,
                 for p in ps:
                     if p in in_group:
                         extra_pairs.add((iid, p) if iid < p else (p, iid))
-        if lvl == 1:
+        if lvl == 1 and cfg.cluster_fn != "cc":
             # m2 consistency: global_m2 was summed over the *capped* global
             # edge set; the local recursion recomputes the *full*
             # within-component matrix. Swap this component's capped weight

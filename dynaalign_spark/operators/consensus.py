@@ -35,8 +35,12 @@ def _consensus_group(pdf: pd.DataFrame) -> pd.DataFrame:
     cons = cluster_consensus(caps)
     if "minhash" in pdf.columns and pdf["minhash"].notna().all() and len(pdf) > 1:
         sigs = np.array(pdf["minhash"].tolist(), dtype=np.int64)
-        agree = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
-        np.fill_diagonal(agree, 0.0)
+        # integer agreement COUNTS, not means: argmax is invariant under the
+        # positive 1/n_hash scaling, and exact int sums cannot reorder on
+        # float rounding — which keeps the medoid bit-reproducible by the
+        # driver's integer-arithmetic SQL oracle
+        agree = (sigs[:, None, :] == sigs[None, :, :]).sum(axis=2)
+        np.fill_diagonal(agree, 0)
         scores = agree.sum(axis=1)
         best = int(np.argmax(scores))  # argmax takes first (smallest id) on ties
     else:
