@@ -689,7 +689,15 @@ def _duck_murmur_sig(k: int) -> str:
     all in hugeint modular arithmetic. Distinct shingles are hashed once
     (vocab ~50k x 50 seeds), then joined back to memberships and min-folded
     per (doc, seed) — the same dedup-then-segmented-min the Spark UDF uses
-    (hashing.py:_hash_tokens_min)."""
+    (hashing.py:_hash_tokens_min).
+
+    ASCII assumption (ADVICE r02): the engine shingles UTF-8 BYTE windows
+    while this oracle shingles CHARACTERS and loads codepoints via ascii(),
+    so the two agree only while every document is pure ASCII — which
+    tests/test_textops_ext.py::test_driver_fixture_documents_are_ascii
+    pins for the driver's sf0.01/sf0.001 fixtures. A non-ASCII fixture
+    would make the four murmur-backed value-exact oracles diverge
+    (the engine, whose byte semantics is the reference's, stays right)."""
     assert k == 4, "single-block murmur oracle requires 4-byte shingles"
     seeds = ", ".join(f"({h}, {s})" for h, s in enumerate(PARITY.seeds))
     return (
@@ -1021,6 +1029,13 @@ def oracle_sql() -> dict[str, str]:
         "minhash_components": (
             f"{_duck_murmur_sig(K)} select image_id, h::int as h, comp from sig"
         ),
+        # Uncapped-band assumption (ADVICE r02): this oracle enumerates every
+        # pair with >= 1 agreeing component, which equals candidate_pairs
+        # only while no band group exceeds band_group_cap (2000) — true for
+        # the 500/5000-row driver fixtures (max group <= corpus size). A
+        # larger fixture or a SCALE config here would surface as an oracle
+        # mismatch that is NOT an engine regression. Same note applies to
+        # incremental_matches (r=1) and the _duck_cc_clusters-based oracles.
         "lsh_candidates": (
             f"{_duck_murmur_sig(K)}, "
             "ag as (select x.image_id as a, y.image_id as b, count(*) as cnt "

@@ -47,16 +47,24 @@ def _norm(c: str):
 
 
 def with_cosine(pairs: DataFrame, a: str = "qvec", b: str = "nvec",
-                out: str = "cosine") -> DataFrame:
-    """cosine = dot/(|a||b|). Norms are read from precomputed per-row
-    ``_na``/``_nb`` columns when present (attach them with ``_norm`` on the
-    SIDES before the pair join: higher-order fns evaluate interpreted, so a
-    norm computed inside the joined plan runs once per PAIR — candidate
-    fan-out times more work than once per vector; bit-identical either way,
-    it is the same expression over the same doubles)."""
-    na = F.col("_na") if "_na" in pairs.columns else _norm(a)
-    nb = F.col("_nb") if "_nb" in pairs.columns else _norm(b)
-    return pairs.withColumn(out, _dot(a, b) / (na * nb)).drop("_na", "_nb")
+                out: str = "cosine", na_col: str | None = "_na",
+                nb_col: str | None = "_nb") -> DataFrame:
+    """cosine = dot/(|a||b|). Pass ``na_col``/``nb_col`` naming precomputed
+    per-row norm columns (attach them with ``_norm`` on the SIDES before the
+    pair join: higher-order fns evaluate interpreted, so a norm computed
+    inside the joined plan runs once per PAIR — candidate fan-out times more
+    work than once per vector; bit-identical either way, it is the same
+    expression over the same doubles). The defaults keep the internal
+    ``_na``/``_nb`` convention but fall back to computing the norm when the
+    column is absent; pass ``na_col=None``/``nb_col=None`` to force
+    recomputation even if same-named columns exist (ADVICE r02: external
+    callers with accidental ``_na``/``_nb`` columns should not get them
+    silently used as norms)."""
+    na = F.col(na_col) if na_col and na_col in pairs.columns else _norm(a)
+    nb = F.col(nb_col) if nb_col and nb_col in pairs.columns else _norm(b)
+    out_df = pairs.withColumn(out, _dot(a, b) / (na * nb))
+    drop = [c for c in (na_col, nb_col) if c and c in pairs.columns]
+    return out_df.drop(*drop) if drop else out_df
 
 
 def cosine_topk(

@@ -258,3 +258,28 @@ def test_unicode_captions_parity_and_ops(spark):
              for r in textops.shared_substring_pairs(
                  df, min_len=16, prefix_cap=32).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] == 32
+
+
+def test_driver_fixture_documents_are_ascii():
+    """Pin of the murmur-oracle ASCII assumption (ADVICE r02,
+    __spark_entry__._duck_murmur_sig): the engine shingles UTF-8 bytes,
+    the DuckDB twin shingles characters via ascii() — equal only on pure
+    ASCII. If the driver fixture ever grows non-ASCII documents this fails
+    HERE with a clear message instead of as a confusing value mismatch in
+    four murmur-backed CORRECTNESS rows."""
+    import os
+
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        import pyarrow.parquet as pq
+
+        texts = pq.read_table(path, columns=["text"]).column("text").to_pylist()
+        bad = [t for t in texts if not t.isascii()]
+        assert not bad, (
+            f"{sf}: {len(bad)} non-ASCII documents — the murmur SQL oracles "
+            "(minhash_components/signatures, lsh_candidates, "
+            "incremental_matches, cc-cluster oracles) assume ASCII; see "
+            "_duck_murmur_sig docstring"
+        )
