@@ -368,21 +368,35 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_audio_features(spark, sf_dir):
-    """Audio modality plumbing (rows-only: the corpus is the deterministic
-    seeded synthetic pcm16 table — testdata ships no audio; numpy-exact
-    feature parity is pytest-gated in tests/test_multimodal.py)."""
+    """Audio modality plumbing over the deterministic seeded pcm16 corpus
+    (testdata ships no audio). The pcm16 decode + duration/rms/zcr are
+    value-checked against a pure-SQL twin that re-reads every int16 sample
+    from inlined hex (little-endian reassembly + sign, integer-lattice RMS,
+    lead-window zero crossings). spectral_centroid (one rfft per row) has no
+    SQL twin — it runs here but stays out of the compared projection; its
+    numpy parity is pytest-gated in tests/test_multimodal.py."""
     from dynaalign_spark import multimodal as mm
 
     df = spark.createDataFrame(mm.make_audio_rows(64, seed=3), mm.AUDIO_SCHEMA)
-    return mm.audio_features(df)
+    return mm.audio_features(df).select(
+        "audio_id",
+        F.round("duration_s", 6).alias("duration_r"),
+        F.round("rms", 6).alias("rms_r"),
+        F.round("zcr", 6).alias("zcr_r"),
+    )
 
 
 def q_frame_sample(spark, sf_dir):
-    """Video frame-sampling plumbing (rows-only; see q_audio_features)."""
+    """Video frame-sampling plumbing (see q_audio_features): the rawv header
+    parse, stride sampling, dims, and exact per-frame mean luma are
+    value-checked against a SQL twin decoding the same inlined bytes."""
     from dynaalign_spark import multimodal as mm
 
     df = spark.createDataFrame(mm.make_video_rows(32, seed=4), mm.VIDEO_SCHEMA)
-    return mm.frame_sample(df, stride=4).drop("frame")
+    return mm.frame_sample(df, stride=4).select(
+        "video_id", "frame_idx", "h", "w",
+        F.round("mean_luma", 4).alias("mean_luma_r"),
+    )
 
 
 def q_multitier_clusters(spark, sf_dir):
@@ -809,6 +823,148 @@ def _duck_cc_clusters(with_xtier: bool = False) -> str:
     )
 
 
+def _duck_byte(pos: str) -> str:
+    """SQL int value of 1-based byte ``pos`` of the lowercase hex column
+    ``hx`` — pure varchar arithmetic (ascii of the two hex digits)."""
+    c1 = f"ascii(substring(hx, 2*({pos})-1, 1))"
+    c2 = f"ascii(substring(hx, 2*({pos}), 1))"
+
+    def hv(c: str) -> str:
+        return f"(case when {c} >= 97 then {c} - 87 else {c} - 48 end)"
+
+    return f"({hv(c1)}*16 + {hv(c2)})"
+
+
+def _duck_image_features() -> str:
+    """DuckDB twin of q_image_features: the fixture's raw encoded bytes are
+    inlined as hex literals (the input DATA — same rows the Spark query
+    builds; the sandbox ships no image parquet) and the entire decode is
+    INDEPENDENT SQL: PPM header parsed by regexp over chr()-built prefix,
+    QRS dims/step from little-endian header bytes, every pixel re-read via
+    hex-digit arithmetic, QRS midpoint reconstruction replayed, and the
+    integer-scaled luma stats recomputed with the same fixed-order float
+    chain as operators/simhash.decode_features (bit-identical by
+    construction). Verifies the mapInPandas decode path cell-by-cell."""
+    from dynaalign_spark.fixtures import make_images
+
+    rows, _ = make_images(n_clusters=40, seed=777)
+    vals = ", ".join(
+        f"('{r['image_id']}', '{r['fmt']}', '{bytes(r['bytes']).hex()}')"
+        for r in rows
+    )
+    b = _duck_byte
+    # header prefix as text (pixel bytes past the header may be 0 / >127 —
+    # map NUL to space so the regexp input is a clean string)
+    hdrstr = (
+        "array_to_string(list_transform(generate_series(1, 20), "
+        f"o -> chr(case when {b('o')} = 0 then 32 else {b('o')} end)), '')"
+    )
+    return (
+        f"with raw(image_id, fmt, hx) as (values {vals}), "
+        f"hd0 as (select image_id, fmt, hx, {hdrstr} as hdr from raw), "
+        "hd1 as (select image_id, fmt, hx, "
+        "regexp_extract(hdr, '^P6\\n(\\d+) (\\d+)\\n255\\n', 1) as ws, "
+        "regexp_extract(hdr, '^P6\\n(\\d+) (\\d+)\\n255\\n', 2) as hs from hd0), "
+        "hdr as (select image_id, fmt, hx, "
+        "case when fmt = 'ppm' then try_cast(ws as int) "
+        f"else {b('5')} + 256*{b('6')} end as w, "
+        "case when fmt = 'ppm' then try_cast(hs as int) "
+        f"else {b('7')} + 256*{b('8')} end as h, "
+        f"case when fmt = 'ppm' then 0 else {b('9')} end as q, "
+        "case when fmt = 'ppm' then 3 + length(ws) + 1 + length(hs) + 5 "
+        "else 9 end as off from hd1), "
+        "allpx as (select unnest(generate_series(1, "
+        "(select max(w*h) from hdr))) as px), "
+        "pxv as (select image_id, fmt, q, w, h, "
+        f"{b('off + 3*px - 2')} as r0, {b('off + 3*px - 1')} as g0, "
+        f"{b('off + 3*px')} as b0 "
+        "from hdr cross join allpx where px <= w*h), "
+        "rgb as (select image_id, w, h, "
+        "case when fmt = 'qrs' then least(r0*q + q//2, 255) else r0 end as r, "
+        "case when fmt = 'qrs' then least(g0*q + q//2, 255) else g0 end as g, "
+        "case when fmt = 'qrs' then least(b0*q + q//2, 255) else b0 end as bb "
+        "from pxv), "
+        "st as (select image_id, w, h, "
+        "sum(299*r + 587*g + 114*bb)::bigint as s1, "
+        "sum((299*r + 587*g + 114*bb)*(299*r + 587*g + 114*bb))::bigint as s2, "
+        "count(*) as n from rgb group by 1, 2, 3), "
+        "fin as (select image_id, w, h, s1/1000.0/n as mean, "
+        "s2/1000000.0/n - (s1/1000.0/n)*(s1/1000.0/n) as var from st) "
+        "select image_id, w, h, round(mean, 6) as mean_luma_r, "
+        "round(sqrt(greatest(var, 0.0)), 6) as std_luma_r, "
+        "64::int as n_features from fin order by image_id"
+    )
+
+
+def _duck_audio_features() -> str:
+    """DuckDB twin of q_audio_features: int16 little-endian samples re-read
+    from inlined hex (v = lo + 256*hi, sign at 32768), duration = n/sr,
+    integer-lattice RMS sqrt(sum(s^2)/n)/32767 (the exact chain
+    multimodal.audio_features computes), zcr = sign-flip count over a lead
+    window / (n-1) — all integer comparisons, no float-sum ordering."""
+    from dynaalign_spark.multimodal import make_audio_rows
+
+    rows = make_audio_rows(64, seed=3)
+    vals = ", ".join(
+        f"('{r['audio_id']}', '{bytes(r['bytes']).hex()}', {r['sample_rate']})"
+        for r in rows
+    )
+    b = _duck_byte
+    return (
+        f"with raw(audio_id, hx, sr) as (values {vals}), "
+        "meta as (select audio_id, hx, sr, length(hx)//4 as n from raw), "
+        "alli as (select unnest(generate_series(1, "
+        "(select max(n) from meta))) as i), "
+        "smp as (select audio_id, sr, n, i, "
+        "case when v >= 32768 then v - 65536 else v end as s from ("
+        f"select audio_id, sr, n, i, {b('2*i-1')} + 256*{b('2*i')} as v "
+        "from meta cross join alli where i <= n)), "
+        "sgn as (select audio_id, (s < 0) as neg, lead(s < 0) over "
+        "(partition by audio_id order by i) as nxt from smp), "
+        "zc as (select audio_id, sum(case when neg != nxt then 1 else 0 end) "
+        "as flips from sgn group by audio_id), "
+        "st as (select audio_id, any_value(sr) as sr, any_value(n) as n, "
+        "sum(s*s)::double as s2 from smp group by audio_id) "
+        "select st.audio_id, round(st.n / (st.sr::double), 6) as duration_r, "
+        "round(sqrt(s2 / st.n) / 32767.0, 6) as rms_r, "
+        "round(zc.flips / (st.n - 1)::double, 6) as zcr_r "
+        "from st join zc using(audio_id)"
+    )
+
+
+def _duck_frame_sample(stride: int = 4) -> str:
+    """DuckDB twin of q_frame_sample: rawv header (three 4-byte LE ints)
+    parsed from inlined hex, every ``stride``-th frame's dims + exact mean
+    luma (integer pixel sum / count — float64-exact at any order)."""
+    from dynaalign_spark.multimodal import make_video_rows
+
+    rows = make_video_rows(32, seed=4)
+    vals = ", ".join(
+        f"('{r['video_id']}', '{bytes(r['bytes']).hex()}')" for r in rows
+    )
+    b = _duck_byte
+
+    def le4(off: int) -> str:
+        return " + ".join(f"{1 << (8 * k)}*{b(str(off + k))}" for k in range(4))
+
+    return (
+        f"with raw(video_id, hx) as (values {vals}), "
+        f"meta as (select video_id, hx, ({le4(1)}) as n, ({le4(5)}) as h, "
+        f"({le4(9)}) as w from raw), "
+        f"alls as (select unnest(generate_series(0, "
+        f"(select max(n) from meta) - 1, {stride})) as fi), "
+        "fr as (select video_id, hx, n, h, w, fi from meta cross join alls "
+        "where fi < n), "
+        "allp as (select unnest(generate_series(1, "
+        "(select max(h*w) from meta))) as p), "
+        "px as (select video_id, fi, h, w, "
+        f"{b('12 + fi*h*w + p')} as v from fr cross join allp where p <= h*w) "
+        "select video_id, fi::int as frame_idx, h::int as h, w::int as w, "
+        "round(sum(v)::double / (h*w), 4) as mean_luma_r "
+        "from px group by video_id, fi, h, w"
+    )
+
+
 def _duck_consensus() -> str:
     """DuckDB twin of q_cluster_consensus over the cc-mode canonical
     clusters: per-position majority vote at the (n-1)//2-th sorted caption
@@ -1134,4 +1290,7 @@ def oracle_sql() -> dict[str, str]:
             "select image_id, cluster_id from clus"
         ),
         "cluster_consensus": _duck_consensus(),
+        "image_features": _duck_image_features(),
+        "audio_features": _duck_audio_features(),
+        "frame_sample": _duck_frame_sample(),
     }

@@ -79,6 +79,8 @@ def audio_features(audio: DataFrame) -> DataFrame:
     row's sample_rate)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         for pdf in it:
             ids, dur, rms, zcr, cent = [], [], [], [], []
             for aid, data, fmt, sr in zip(
@@ -88,7 +90,16 @@ def audio_features(audio: DataFrame) -> DataFrame:
                 n = len(x)
                 ids.append(aid)
                 dur.append(n / float(sr))
-                rms.append(float(np.sqrt(np.mean(x * x))) if n else 0.0)
+                # RMS over the int16 sample lattice with exact integer
+                # accumulation, then one fixed-order float chain
+                # (sqrt(s2/n)/32767): bit-reproducible by the driver's SQL
+                # oracle (no pairwise-vs-sequential float-sum ordering
+                # hazard). np.rint recovers the exact int16 for pcm16
+                # (x*32767 is within an ulp of the integer) and quantizes
+                # any other codec's floats to the same lattice.
+                si = np.rint(x * 32767.0).astype(np.int64)
+                s2 = int((si * si).sum())
+                rms.append(math.sqrt(float(s2) / n) / 32767.0 if n else 0.0)
                 zcr.append(
                     float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
                     if n > 1 else 0.0
@@ -100,10 +111,12 @@ def audio_features(audio: DataFrame) -> DataFrame:
                     cent.append(float((freqs * spec).sum() / tot) if tot > 0 else 0.0)
                 else:
                     cent.append(0.0)
+            # full-precision outputs: rounding is presentation, done by the
+            # caller (the driver queries round with F.round so Spark's
+            # HALF_UP matches DuckDB's; np.round here would be banker's)
             yield pd.DataFrame(
-                {"audio_id": ids, "duration_s": np.round(dur, 6),
-                 "rms": np.round(rms, 6), "zcr": np.round(zcr, 6),
-                 "spectral_centroid": np.round(cent, 3)}
+                {"audio_id": ids, "duration_s": dur,
+                 "rms": rms, "zcr": zcr, "spectral_centroid": cent}
             )
 
     return audio.mapInPandas(
@@ -130,7 +143,11 @@ def frame_sample(video: DataFrame, stride: int = 4) -> DataFrame:
                     idx.append(i)
                     hh.append(f.shape[0])
                     ww.append(f.shape[1])
-                    ml.append(round(float(f.mean()), 4))
+                    # exact: integer pixel sum / count (float64 sums of
+                    # uint8 are exact integers at any accumulation order);
+                    # rounding is the caller's (round() here would be
+                    # banker's — k/256 means DO hit exact 4-dp halves)
+                    ml.append(int(f.sum(dtype=np.int64)) / float(f.size))
                     fb.append(f.tobytes())
             yield pd.DataFrame(
                 {"video_id": vid, "frame_idx": idx, "h": hh, "w": ww,

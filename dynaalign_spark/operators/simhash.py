@@ -169,10 +169,21 @@ def decode_features(images: DataFrame, grid: int = 8) -> DataFrame:
     codec.decode_image raises NotImplementedError for them).
 
     Returns (image_id, w, h, mean_luma, std_luma, features array<float>).
+
+    Luma stats use the INTEGER-scaled weights (299, 587, 114)/1000 with exact
+    int64 accumulation, then one fixed-order float division chain
+    (s1/1000.0/n; sqrt(max(s2/1e6/n - mean^2, 0))): bit-reproducible across
+    engines (the driver's DuckDB oracle decodes the same bytes in SQL and
+    replays the identical arithmetic — no pairwise-vs-sequential float-sum
+    ordering hazard), and within 1e-11 of the float-weight to_gray mean.
+    The feature vector keeps the float to_gray/area_resize path the pixel
+    SimHash tier uses.
     """
     import pyarrow  # noqa: F401  (Arrow batching is the point of this path)
 
     def batches(it):
+        import math
+
         for pdf in it:
             feats, means, stds, ws, hs, ids = [], [], [], [], [], []
             for img_id, buf, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
@@ -184,11 +195,18 @@ def decode_features(images: DataFrame, grid: int = 8) -> DataFrame:
 
                 luma = to_gray(pix)
                 small = area_resize(luma, grid, grid)
+                p64 = pix.astype(np.int64)
+                ls = 299 * p64[..., 0] + 587 * p64[..., 1] + 114 * p64[..., 2]
+                n_px = ls.size
+                s1 = int(ls.sum())
+                s2 = int((ls * ls).sum())
+                mean = s1 / 1000.0 / n_px
+                var = s2 / 1000000.0 / n_px - mean * mean
                 ids.append(img_id)
                 hs.append(pix.shape[0])
                 ws.append(pix.shape[1])
-                means.append(float(luma.mean()))
-                stds.append(float(luma.std()))
+                means.append(mean)
+                stds.append(math.sqrt(var if var > 0.0 else 0.0))
                 feats.append([float(x) for x in small.ravel()])
             yield pd.DataFrame(
                 {"image_id": ids, "w": ws, "h": hs, "mean_luma": means,
