@@ -405,17 +405,26 @@ def ivf_topk(
     embeddings: DataFrame, queries: DataFrame, k: int, dim: int,
     n_centroids: int = 64, n_probe: int = 4, seed: int = 777,
     id_col: str = "vec_id", vec_col: str = "embedding", qid_col: str = "qid",
-    centroids: np.ndarray | None = None,
+    centroids: np.ndarray | None = None, cell_cap: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k (the data-adaptive alternative to ann_lsh_topk):
     corpus rows live in their single nearest coarse cell; each query probes
     its ``n_probe`` nearest cells; exact cosine runs on candidates only.
 
     Plan shape: one equi-join on the int cell id (corpus shuffled once by
-    cell; query side exploded n_probe ways) — no crossJoin. Cell skew is
-    data-dependent; n_centroids scales with corpus size to keep cells ~
-    n/n_centroids (and AQE skew-join splits hot cells at runtime).
-    Returns (qid, vec_id, cosine_r, rnk).
+    cell; query side exploded n_probe ways) — no crossJoin. Returns
+    (qid, vec_id, cosine_r, rnk).
+
+    Cell skew (VERDICT r02 #7): a data-hot cell (near-dup-heavy corpora can
+    put most vectors in one cell) would otherwise become one straggler join
+    task. ``cell_cap`` bounds it explicitly: per-cell counts (n_centroids
+    rows, broadcast) split any cell with count > cell_cap into
+    ceil(count/cell_cap) salt shards — corpus rows hash into one shard,
+    queries probing that cell fan out across all shards — so the candidate
+    PAIR SET is exactly unchanged (tested) while no join task sees more than
+    ~cell_cap corpus vectors. n_centroids stays the coarse knob (cells ~
+    n/n_centroids); cell_cap is the hard ceiling that survives adversarial
+    skew. None = unsalted (AQE skew-join remains the runtime backstop).
     """
     if centroids is None:
         centroids = ivf_centroids(embeddings, n_centroids, dim, seed=seed,
@@ -430,8 +439,23 @@ def ivf_topk(
         _norm(vec_col).alias("_na"),
         F.explode(_ivf_assign_col(centroids, vec_col, n_probe=n_probe)).alias("cell"),
     )
+    if cell_cap is not None:
+        shards = F.broadcast(
+            corpus.groupBy("cell").agg(
+                F.ceil(F.count("*") / F.lit(cell_cap)).cast("int").alias("_nshard")
+            )
+        )
+        corpus = corpus.join(shards, "cell").withColumn(
+            "_shard", F.pmod(F.xxhash64("vec_id"), F.col("_nshard")).cast("int")
+        ).drop("_nshard")
+        q = q.join(shards, "cell").withColumn(
+            "_shard", F.explode(F.sequence(F.lit(0), F.col("_nshard") - 1))
+        ).drop("_nshard")
+        join_key = ["cell", "_shard"]
+    else:
+        join_key = ["cell"]
     cands = (
-        q.join(corpus, "cell")
+        q.join(corpus, join_key)
         .where(F.col("qid") != F.col("vec_id"))
         .dropDuplicates(["qid", "vec_id"])
     )

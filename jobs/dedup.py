@@ -5,7 +5,9 @@ Pipeline: images parquet/Iceberg -> MinHash signatures (caption shingles, with
 optional phash bit-shingle fusion) -> LSH candidate pairs -> global type-7
 quantile threshold (composed with the scale noise floor) -> thresholded edges
 -> union of the optional SimHash pixel tier's and caption-substring tier's
-edges (--pixel-tier / --substring-tier; the north rule's multi-signal merge)
+edges (--pixel-tier / --substring-tier, with --substring-mode selecting
+whole-caption containment, shared-region LCS via the distributed generalized
+suffix array, or both; the north rule's multi-signal merge)
 -> connected components + size-constrained cluster breaking (distributed
 re-threshold recursion above local_max, exact in-memory Louvain recursion
 below) -> clusters / filtered -> per-cluster consensus + medoid exemplar ->
@@ -58,8 +60,19 @@ def parse_args(argv=None):
     p.add_argument("--pixel-tier", action="store_true",
                    help="also run the SimHash pixel tier and merge its edges")
     p.add_argument("--substring-tier", action="store_true",
-                   help="also run the caption-substring containment tier "
-                        "and merge its edges")
+                   help="also run the caption-substring tier and merge its "
+                        "edges (see --substring-mode)")
+    p.add_argument("--substring-mode", default="containment",
+                   choices=["containment", "lcs", "both"],
+                   help="containment: whole-caption-inside-another "
+                        "(suffix_candidates); lcs: shared region >= "
+                        "substring_min_len chars via the distributed "
+                        "generalized suffix array (shared_substring_pairs) — "
+                        "catches dups whose captions share a long region but "
+                        "differ at both ends; both: union")
+    p.add_argument("--substring-min-len", type=int, default=32,
+                   help="minimum shared-region length for --substring-mode "
+                        "lcs/both")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--master", default=None)
     return p.parse_args(argv)
@@ -87,7 +100,8 @@ def main(argv=None):
         json.dumps({k: str(v) for k, v in vars(cfg).items()}, sort_keys=True).encode()
         + args.input.encode()
         + (b"px" if args.pixel_tier else b"")
-        + (b"sub" if args.substring_tier else b"")
+        + (f"sub:{args.substring_mode}:{args.substring_min_len}".encode()
+           if args.substring_tier else b"")
     ).hexdigest()[:16]
     runner = StageRunner(spark, args.output, resume=not args.no_resume,
                          config_fingerprint=fp)
@@ -109,16 +123,33 @@ def main(argv=None):
             lambda: pixel_edges(images, cfg, verify_psnr=True).select("a", "b"),
         )
     if args.substring_tier:
-        from dynaalign_spark.textops import suffix_candidates
+        from dynaalign_spark.textops import shared_substring_pairs, suffix_candidates
 
-        sub = runner.run(
-            "substring_edges",
-            lambda: suffix_candidates(
-                images.select("image_id", "caption"),
-                prefix_len=24, min_suffix=16,
-                id_col="image_id", text_col="caption",
-            ).select(F.col("contained").alias("a"), F.col("container").alias("b")),
-        )
+        caps = images.select("image_id", "caption")
+
+        def _substring_edges():
+            parts = []
+            if args.substring_mode in ("containment", "both"):
+                parts.append(
+                    suffix_candidates(
+                        caps, prefix_len=24, min_suffix=16,
+                        id_col="image_id", text_col="caption",
+                    ).select(F.col("contained").alias("a"),
+                             F.col("container").alias("b"))
+                )
+            if args.substring_mode in ("lcs", "both"):
+                parts.append(
+                    shared_substring_pairs(
+                        caps, min_len=args.substring_min_len,
+                        id_col="image_id", text_col="caption",
+                    ).select("a", "b")
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out.dropDuplicates(["a", "b"])
+
+        sub = runner.run("substring_edges", _substring_edges)
         extra = sub if extra is None else extra.unionByName(sub)
 
     def _cluster():

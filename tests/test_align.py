@@ -151,6 +151,31 @@ class TestKernel:
             get_substitution_matrix("BLOSUM999")
 
 
+def _golden_cases():
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "nw_golden.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+@pytest.mark.parametrize(
+    "case", _golden_cases(),
+    ids=lambda c: f"{c['set']}-{c['matrix']}-{c['a'][:6]}x{c['b'][:6]}",
+)
+def test_golden_vectors_pin_reference_semantics(case):
+    """VERDICT r02 #6: committed golden (matches, length, score) for fixed
+    peptide sets x all six BLOSUM tables, generated by the per-cell
+    transliteration of src/pairwiseSeqAlign.cpp:209-313 (overwritten-M
+    recurrence order, -o-(g-1)e boundaries, positional traceback) in
+    scripts/gen_nw_golden.py. Unlike the in-repo slow oracle above, the
+    frozen JSON can't drift with a refactor."""
+    sub = get_substitution_matrix(case["matrix"])
+    got = nw_pair_stats(case["a"], case["b"], sub)
+    assert got == (case["matches"], case["length"], case["score"]), case
+
+
 @pytest.mark.usefixtures("spark")
 class TestSpark:
     def test_similarity_nw_matches_kernel(self, spark):

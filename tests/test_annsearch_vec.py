@@ -178,6 +178,62 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert sorted(map(tuple, got1)) == sorted(map(tuple, got2))
 
 
+def test_ivf_topk_cell_cap_bounds_adversarial_skew(spark):
+    """VERDICT r02 #7: adversarial fixture — ~90% of the corpus collapses
+    into ONE coarse cell (tight cluster around a single direction). cell_cap
+    must (a) leave the result EXACTLY unchanged (the salt shards partition
+    each cell, queries fan out across all shards — same candidate pair set)
+    and (b) bound the per-join-task group: no (cell, shard) corpus group
+    exceeds ~cell_cap (2x slack for the hash split's unevenness)."""
+    rng = np.random.Generator(np.random.PCG64(21))
+    hot = rng.standard_normal(64)
+    vecs = []
+    for i in range(500):
+        if i < 450:  # 90% jammed into one direction -> one IVF cell
+            vecs.append((hot + rng.standard_normal(64) * 0.05).astype(np.float32))
+        else:
+            vecs.append(rng.standard_normal(64).astype(np.float32))
+    emb = _emb_df(spark, vecs)
+    queries = emb.where("vec_id % 50 = 0").selectExpr("vec_id as qid", "embedding")
+    cents = annsearch.ivf_centroids(emb, 16, 64)
+
+    # fixture sanity: the hot cell really is hot
+    from pyspark.sql import functions as F
+    assign = emb.select(
+        F.element_at(
+            annsearch._ivf_assign_col(cents, "embedding", n_probe=1), 1
+        ).alias("cell")
+    )
+    top = assign.groupBy("cell").count().orderBy(F.desc("count")).first()
+    assert top["count"] >= 400, "fixture no longer adversarial"
+
+    cap = 64
+    base = annsearch.ivf_topk(emb, queries, k=5, dim=64, centroids=cents,
+                              n_probe=4).collect()
+    capped = annsearch.ivf_topk(emb, queries, k=5, dim=64, centroids=cents,
+                                n_probe=4, cell_cap=cap).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, capped))
+
+    # replay the salting and measure the largest (cell, shard) corpus group
+    corpus = emb.select(
+        "vec_id",
+        F.element_at(
+            annsearch._ivf_assign_col(cents, "embedding", n_probe=1), 1
+        ).alias("cell"),
+    )
+    shards = corpus.groupBy("cell").agg(
+        F.ceil(F.count("*") / F.lit(cap)).cast("int").alias("_nshard")
+    )
+    grp = (
+        corpus.join(shards, "cell")
+        .withColumn("_shard",
+                    F.pmod(F.xxhash64("vec_id"), F.col("_nshard")).cast("int"))
+        .groupBy("cell", "_shard").count()
+    )
+    biggest = grp.agg(F.max("count")).first()[0]
+    assert biggest <= 2 * cap, biggest
+
+
 def test_ivf_topk_plan_has_no_cartesian_join(spark):
     rng = np.random.Generator(np.random.PCG64(9))
     emb = _emb_df(spark, rng.standard_normal((60, 64)).astype(np.float32))

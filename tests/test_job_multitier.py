@@ -21,6 +21,14 @@ PIXEL_CAP_A = "quiet harbor lanterns drifting over the winter tide tonight"
 PIXEL_CAP_B = "amber canyon foxes gather beneath the sandstone arches today"
 SUB_INNER = "the glass observatory above the clouds"
 SUB_OUTER = f"panorama from {SUB_INNER} at dawn with migrating cranes"
+# LCS-only dup (VERDICT r02 #8): a long shared region with DIFFERENT prefixes
+# and suffixes — invisible to containment, and the non-shared majority keeps
+# k-gram jaccard below threshold so the caption MinHash tier can't merge them
+LCS_SHARED = "the ancient lighthouse keeper counted seventeen storms that winter"
+LCS_CAP_A = (f"westward beyond the shoals {LCS_SHARED} before the long calm "
+             "season finally returned to the bay")
+LCS_CAP_B = (f"{LCS_SHARED} while gulls wheeled over the empty grain barges "
+             "drifting far downriver past the mill")
 
 
 @pytest.fixture(scope="module")
@@ -43,6 +51,11 @@ def multitier_input(spark, tmp_path_factory):
     p3 = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
     rows.append(img_row("subdup00", p2, SUB_INNER))
     rows.append(img_row("subdup01", p3, SUB_OUTER))
+    # LCS-only dups: shared 67-char region, different prefixes AND suffixes
+    p4 = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+    p5 = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+    rows.append(img_row("lcsdup00", p4, LCS_CAP_A))
+    rows.append(img_row("lcsdup01", p5, LCS_CAP_B))
     path = str(tmp_path_factory.mktemp("mt") / "images.parquet")
     images_df(spark, rows).write.parquet(path)
     return path
@@ -73,6 +86,40 @@ def test_tiers_merge_into_flagship_clusters(spark, multitier_input, tmp_path):
     assert all(st["skipped"] for st in s2["stages"])
     assert {st["stage"] for st in s2["stages"]} >= {"pixel_edges", "substring_edges"}
     assert _clusters(spark, out) == cl
+
+
+def test_lcs_substring_mode_connects_shared_region_dups(spark, multitier_input,
+                                                        tmp_path):
+    """VERDICT r02 #8: the LCS tier must be reachable from the shipped job.
+    The planted lcsdup pair shares a 67-char region but has different
+    prefixes and suffixes — containment mode provably cannot pair it (neither
+    caption is a substring of the other; suffix_candidates verifies true
+    containment with a JVM `contains`). The caption tier COULD pair it under
+    parity's bare thresh_p=0.8 quantile (any planted shared region lands in
+    the top 80% of candidate similarities), so min_edge_sim=0.45 isolates the
+    substring tier: the pair's k=4 jaccard is 0.298 < 0.45 while the true
+    make_images dup pairs sit ~0.8+, and extra_edges bypass the floor."""
+    import jobs.dedup as job
+
+    base = ["--input", multitier_input, "--config", "parity",
+            "--set", "size_min=1", "--set", "min_edge_sim=0.45",
+            "--substring-tier"]
+
+    out_c = str(tmp_path / "containment")
+    assert job.main(base + ["--output", out_c,
+                            "--substring-mode", "containment"]) == 0
+    cl_c = _clusters(spark, out_c)
+    assert cl_c["lcsdup00"] != cl_c["lcsdup01"], (
+        "containment mode unexpectedly merged the LCS-only pair — fixture no "
+        "longer isolates the LCS tier")
+
+    out_l = str(tmp_path / "lcs")
+    assert job.main(base + ["--output", out_l, "--substring-mode", "lcs"]) == 0
+    cl_l = _clusters(spark, out_l)
+    assert cl_l["lcsdup00"] == cl_l["lcsdup01"], "LCS edge not merged"
+    # a contained caption >= min_len chars is itself a shared region, so the
+    # containment pair stays merged under lcs mode too
+    assert cl_l["subdup00"] == cl_l["subdup01"]
 
 
 def test_extra_edges_are_what_connects_pixel_dups(spark):
