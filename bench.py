@@ -57,13 +57,30 @@ def images_parquet(spark, n_clusters: int = IMAGES_N_CLUSTERS) -> str:
     return path
 
 
+def _scale_tiers() -> list[str]:
+    """DYNA_TIERS='pixel,substring' -> extra edge tiers merged into the
+    scaling job (the north-rule multitier run); empty = caption tier only."""
+    return [t for t in os.environ.get("DYNA_TIERS", "").split(",") if t.strip()]
+
+
+def _scaling_path() -> str:
+    """Tiered runs use the per-block-pixels fixture variant ('bp' suffix):
+    the default driver-pool pixels make every row an exact pixel dup of
+    n/32 others, which degenerates the pixel tier into corpus-sized
+    fingerprint groups (see fixtures.generate_images_distributed)."""
+    suffix = "bp_" if _scale_tiers() else ""
+    return os.path.join(
+        CACHE_DIR, f"images_dist_{suffix}{SCALING_N_ROWS}_s{IMAGES_SEED}.parquet")
+
+
 def scaling_parquet(spark) -> str:
     """Generate-once large table (make_images_light) for --scaling."""
-    path = os.path.join(CACHE_DIR, f"images_dist_{SCALING_N_ROWS}_s{IMAGES_SEED}.parquet")
+    path = _scaling_path()
     if not os.path.exists(path):
         from dynaalign_spark.fixtures import generate_images_distributed
 
-        df = generate_images_distributed(spark, SCALING_N_ROWS, seed=IMAGES_SEED)
+        df = generate_images_distributed(spark, SCALING_N_ROWS, seed=IMAGES_SEED,
+                                         per_block_pixels=bool(_scale_tiers()))
         df.write.mode("overwrite").parquet(path)
     return path
 
@@ -212,11 +229,40 @@ def _worker_dedup(cpus: int) -> None:
         cfg = cfg.with_(sig_broadcast_max=int(os.environ["DYNA_SIG_BCAST_MAX"]))
     if os.environ.get("DYNA_STORAGE"):
         cfg = cfg.with_(cache_storage=os.environ["DYNA_STORAGE"])
+    tiers = _scale_tiers()
+
+    def extra_edges(imgs):
+        """DYNA_TIERS edge union — identical construction to bench's
+        dedup_multitier / jobs/dedup.py (PSNR-verified pixel SimHash,
+        substring containment)."""
+        from pyspark.sql import functions as F
+
+        from dynaalign_spark import textops
+        from dynaalign_spark.operators.simhash import pixel_edges
+
+        parts_ = []
+        if "pixel" in tiers:
+            parts_.append(pixel_edges(imgs, cfg, verify_psnr=True).select("a", "b"))
+        if "substring" in tiers:
+            parts_.append(textops.suffix_candidates(
+                imgs.select("image_id", "caption"), prefix_len=24,
+                min_suffix=16, id_col="image_id", text_col="caption",
+            ).select(F.col("contained").alias("a"),
+                     F.col("container").alias("b")))
+        out = parts_[0]
+        for p in parts_[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def run_once(imgs):
+        return clusterbreak_spark(
+            imgs, cfg, extra_edges=extra_edges(imgs) if tiers else None)
+
     # warm the JVM (JIT), the Python UDF worker pool, and the parquet cache
     # with a miniature end-to-end run, so the timed run measures steady-state
     # throughput — the same warmup at both parallelism levels (what a real
     # long-lived cluster job sees after its first minutes)
-    warm = clusterbreak_spark(images.limit(20_000), cfg)
+    warm = run_once(images.limit(20_000))
     warm["clusters"].count()
     warm["signatures"].unpersist()
     warm["pairs"].unpersist()
@@ -228,14 +274,14 @@ def _worker_dedup(cpus: int) -> None:
     n_out = 0
     for _ in range(2):
         t0 = time.time()
-        res = clusterbreak_spark(images, cfg)
+        res = run_once(images)
         n_out = res["clusters"].count()
         reps.append(time.time() - t0)
         for key in ("signatures", "pairs", "components"):
             res[key].unpersist()
     dt = min(reps)
     print(json.dumps({"cpus": cpus, "rows": n, "out": n_out, "sec": round(dt, 3),
-                      "reps": [round(r, 3) for r in reps],
+                      "reps": [round(r, 3) for r in reps], "tiers": tiers,
                       "images_per_sec": round(n / dt, 1)}))
     spark.stop()
 
@@ -243,7 +289,7 @@ def _worker_dedup(cpus: int) -> None:
 def _scaling_input_bytes() -> int | None:
     """On-disk size of the (pre-generated) scaling parquet — the
     input_bytes_hint that sizes scan splits / AQE advisory per core count."""
-    path = os.path.join(CACHE_DIR, f"images_dist_{SCALING_N_ROWS}_s{IMAGES_SEED}.parquet")
+    path = _scaling_path()
     if not os.path.isdir(path):
         return None
     return sum(
@@ -309,15 +355,18 @@ def _worker_gen() -> None:
 
 
 def run_scaling() -> dict:
-    """N=8 vs 4N=32 cores on identical input -> scaling efficiency.
+    """N vs 4N cores on identical input -> scaling efficiency.
 
-    Each level is pinned to exactly its core budget with taskset (cpus 0-7 vs
-    0-31): without the pin, the local[8] JVM's GC threads, Spark internal
-    pools, and Python/Arrow UDF worker processes free-ride on the 24 idle
-    cores, overstating N-core throughput — a real N-executor cluster has no
-    idle 4N-cluster to borrow from. Java and Python both derive their
-    thread-pool sizes from sched_getaffinity, so the pin confines everything.
+    DYNA_SCALE_CPUS='n,4n' picks the two levels (default 8,32). Each level is
+    pinned to exactly its core budget with taskset (cpus 0-(n-1)): without
+    the pin, the local[n] JVM's GC threads, Spark internal pools, and
+    Python/Arrow UDF worker processes free-ride on the idle cores,
+    overstating N-core throughput — a real N-executor cluster has no idle
+    4N-cluster to borrow from. Java and Python both derive their thread-pool
+    sizes from sched_getaffinity, so the pin confines everything.
     """
+    lo, hi = (int(c) for c in os.environ.get("DYNA_SCALE_CPUS", "8,32").split(","))
+    factor = hi / lo
     subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--worker-gen"],
         capture_output=True, text=True, timeout=1800,
@@ -325,22 +374,22 @@ def run_scaling() -> dict:
     import shutil
 
     def substrate_eff() -> dict:
-        """Same-time-window hypervisor calibration: pure in-L1 ALU work at 8
-        vs 32 pinned processes (scripts/membw.py probe). This sandbox VM does
-        not deliver 4x the compute from 8->32 vCPUs even for perfect code
-        (measured 3.0-3.5x, varying by the minute with host contention), so
-        the raw pipeline ratio is reported alongside this ceiling and the
-        substrate-normalized efficiency."""
+        """Same-time-window hypervisor calibration: pure in-L1 ALU work at
+        lo vs hi pinned processes (scripts/membw.py probe). This sandbox VM
+        does not deliver 4x the compute from 8->32 vCPUs even for perfect
+        code (measured 3.0-3.5x, varying by the minute with host
+        contention), so the raw pipeline ratio is reported alongside this
+        ceiling and the substrate-normalized efficiency."""
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
         from membw import measure_alu
 
-        a8, a32 = measure_alu(8), measure_alu(32)
-        return {"alu_8": round(a8), "alu_32": round(a32),
-                "eff": round(a32 / (4.0 * a8), 3)}
+        a_lo, a_hi = measure_alu(lo), measure_alu(hi)
+        return {f"alu_{lo}": round(a_lo), f"alu_{hi}": round(a_hi),
+                "eff": round(a_hi / (factor * a_lo), 3)}
 
     out = {}
     sub = {"before": substrate_eff()}
-    for cpus in (8, 32):
+    for cpus in (lo, hi):
         cmd = [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)]
         if shutil.which("taskset") and (os.cpu_count() or 0) >= cpus:
             cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
@@ -360,17 +409,18 @@ def run_scaling() -> dict:
         line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
         out[cpus] = json.loads(line)
     sub["after"] = substrate_eff()
-    eff = out[32]["images_per_sec"] / (4.0 * out[8]["images_per_sec"])
+    eff = out[hi]["images_per_sec"] / (factor * out[lo]["images_per_sec"])
     ceiling = (sub["before"]["eff"] + sub["after"]["eff"]) / 2.0
     return {
-        "metric": "scaling_efficiency_8_to_32",
+        "metric": f"scaling_efficiency_{lo}_to_{hi}",
         "value": round(eff, 3),
         "unit": "ratio",
+        "tiers": _scale_tiers(),
         "substrate_alu": sub,
         "substrate_ceiling": round(ceiling, 3),
         "normalized_value": round(eff / ceiling, 3) if ceiling else None,
-        "n8": out[8],
-        "n32": out[32],
+        "n_lo": out[lo],
+        "n_hi": out[hi],
     }
 
 

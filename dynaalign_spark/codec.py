@@ -121,6 +121,40 @@ def phash64(pix: np.ndarray) -> int:
 
 
 def simhash_features(pix: np.ndarray, grid: int = 16) -> np.ndarray:
-    """Mean-centered downsampled luma grid -> (grid*grid,) float feature row."""
+    """Mean-centered downsampled luma grid -> (grid*grid,) float feature row.
+
+    Generic float feature path (kept for dense-feature simhash_bits); the
+    pixel dedup tier uses luma_grid_sums + hashing.simhash_bits_int instead —
+    an integer-exact formulation whose fingerprints are bit-identical across
+    engines/BLAS/hardware (and therefore SQL-oracle-checkable)."""
     g = area_resize(to_gray(pix), grid, grid).ravel()
     return g - g.mean()
+
+
+def luma_grid_sums(pix: np.ndarray, grid: int = 16) -> np.ndarray:
+    """Integer-exact luma feature grid for the pixel SimHash fingerprint.
+
+    Per-pixel integer luma L = 299*r + 587*g + 114*b (the same 1000-scaled
+    weights the decode stats path uses), image cropped to the largest
+    grid-divisible window (margin <= grid-1 px), then summed over the
+    grid x grid equal blocks. Everything is int64 — no float op, no
+    summation-order hazard — so any engine (numpy, Spark, DuckDB SQL)
+    computes the identical vector from the same decoded pixels.
+
+    The un-normalized block SUM is a positive per-image scalar multiple
+    (block_area * 1000) of the block-mean luma, and simhash_bits_int's
+    centered projection is scale-invariant per row, so fingerprints remain
+    comparable across image sizes exactly as the float path's were.
+    -> (grid*grid,) int64.
+    """
+    h, w = pix.shape[0], pix.shape[1]
+    h2, w2 = (h // grid) * grid, (w // grid) * grid
+    if h2 == 0 or w2 == 0:
+        raise ValueError(f"image {h}x{w} smaller than simhash grid {grid}")
+    p = pix[:h2, :w2].astype(np.int64)
+    lum = 299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]
+    return (
+        lum.reshape(grid, h2 // grid, grid, w2 // grid)
+        .sum(axis=(1, 3))
+        .ravel()
+    )

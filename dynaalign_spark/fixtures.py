@@ -176,12 +176,22 @@ def generate_images_distributed(
     spark, n_rows: int, seed: int = 42, block_size: int = 20_000,
     img_hw: tuple[int, int] = (16, 16), pixel_pool: int = 32,
     singleton_frac: float = 0.3, max_members: int = 12,
+    per_block_pixels: bool = False,
 ):
     """Distributed deterministic fixture generation: mapInPandas over seed
     blocks (one PCG64 stream per block, independent of partitioning), so a
     10^6-row corpus generates in parallel — the pattern a real 10^12-scale
     synthetic load would use. Planted clusters never span blocks. Returns a
-    DataFrame in the images-table shape."""
+    DataFrame in the images-table shape.
+
+    ``per_block_pixels=False`` (default): pixels cycle through a small
+    driver-side pool — cheap, but every row is an exact pixel dup of
+    n_rows/pixel_pool others, so the PIXEL tier on this fixture degenerates
+    into a handful of corpus-sized fingerprint groups. ``True`` generates
+    pixels inside each block: caption-cluster members share a perturbed copy
+    of their cluster's base image (pixel near-dups, as make_images plants)
+    and singletons get unique images — pixel-dup group sizes stay bounded by
+    max_members, which is what the multitier scaling benchmark needs."""
     import pandas as pd
 
     n_blocks = (n_rows + block_size - 1) // block_size
@@ -203,23 +213,33 @@ def generate_images_distributed(
                 count = min(block_size, n_rows - start)
                 ids, bts, caps, phs = [], [], [], []
 
-                def emit(words):
+                def emit(words, pix=None):
                     rid = start + len(ids)
-                    data, ph = pool[rid % pixel_pool]
+                    if pix is None:
+                        data, ph = pool[rid % pixel_pool]
+                    else:
+                        data, ph = bytes(encode_ppm(pix)), phash64(pix)
                     ids.append(f"img{rid:09d}")
                     bts.append(data)
                     caps.append(" ".join(words))
                     phs.append(ph)
 
+                def fresh_pix():
+                    return _base_image(rng, h, w) if per_block_pixels else None
+
                 n_cluster_rows = int(count * (1 - singleton_frac))
                 while len(ids) < n_cluster_rows:
                     m = 2 + min(int(rng.zipf(1.6)), max_members - 2)
                     base = [vocab[int(i)] for i in rng.integers(0, len(vocab), int(rng.integers(8, 14)))]
-                    emit(base)
+                    base_pix = fresh_pix()
+                    emit(base, base_pix)
                     for _ in range(min(m - 1, n_cluster_rows - len(ids))):
-                        emit(_perturb_caption(rng, base, vocab))
+                        emit(_perturb_caption(rng, base, vocab),
+                             _perturb_image(rng, base_pix)
+                             if per_block_pixels else None)
                 while len(ids) < count:
-                    emit([vocab[int(i)] for i in rng.integers(0, len(vocab), int(rng.integers(8, 14)))])
+                    emit([vocab[int(i)] for i in rng.integers(0, len(vocab), int(rng.integers(8, 14)))],
+                         fresh_pix())
                 yield pd.DataFrame(
                     dict(image_id=ids, bytes=bts, w=w, h=h, fmt="ppm",
                          caption=caps, phash=phs)

@@ -219,6 +219,52 @@ def simhash_bits(features: np.ndarray, seed: int, bits: int = 64) -> np.ndarray:
     return out.view(np.int64)
 
 
+def simhash_planes_int(d: int, seed: int, bits: int = 64,
+                       scale: int = 1024) -> np.ndarray:
+    """Integer-quantized hyperplanes: round(N(0,1) * scale) from a seeded
+    PCG64 — deterministic, and small enough to inline as SQL literals in the
+    driver's DuckDB twin. -> (d, bits) int64."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return np.rint(rng.standard_normal((d, bits)) * scale).astype(np.int64)
+
+
+def simhash_bits_int(sums: np.ndarray, seed: int, bits: int = 64,
+                     scale: int = 1024) -> np.ndarray:
+    """Integer-lattice SimHash over per-row int64 feature sums (the pixel
+    tier's codec.luma_grid_sums blocks), packed little-bit-endian into int64.
+
+    Sign of the mean-centered projection, computed EXACTLY in int64: with
+    features f_c = s_c / A (A = per-row positive block area) and mean
+    m = (sum_c f_c) / d,
+
+        sign(sum_c (f_c - m) * p_c)  ==  sign(d * sum_c s_c p_c
+                                              - (sum_c s_c)(sum_c p_c))
+
+    (multiply through by A*d > 0). No float enters the decision, so the
+    fingerprint is bit-identical on any engine / BLAS / hardware — numpy
+    here, pure integer SQL in the driver's DuckDB oracle. Ties (projection
+    exactly 0) are deterministic too: bit = 1.
+
+    Bound: |d * sum s*p| <= d^2 * max_s * max|p|; at grid 16 (d=256),
+    255000-scaled luma blocks and scale=1024 (|p| <~ 5*1024) this caps the
+    exact range at images of ~5 Mpx — downsample larger inputs first.
+
+    sums: (n, d) int64. -> (n,) int64 fingerprints.
+    """
+    sums = np.ascontiguousarray(sums, dtype=np.int64)
+    d = sums.shape[1]
+    planes = simhash_planes_int(d, seed, bits, scale)
+    # integer matmul: numpy's own int64 kernels (not BLAS) — exact
+    proj = d * (sums @ planes) - sums.sum(axis=1, keepdims=True) * planes.sum(
+        axis=0, keepdims=True
+    )
+    b = (proj >= 0).astype(np.uint64)
+    out = np.zeros(sums.shape[0], np.uint64)
+    for i in range(bits):
+        out |= b[:, i] << np.uint64(i)
+    return out.view(np.int64)
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Hamming distance between int64 bit-fingerprints (vectorized popcount)."""
     x = (np.asarray(a).view(np.uint64)) ^ (np.asarray(b).view(np.uint64))

@@ -61,3 +61,34 @@ def test_simhash_features_shape_and_centering():
     f = simhash_features(_img(4), grid=16)
     assert f.shape == (256,)
     assert abs(f.mean()) < 1e-9
+
+
+def test_luma_grid_sums_matches_bruteforce_block_sums():
+    from dynaalign_spark.codec import luma_grid_sums
+
+    pix = _img(11, h=33, w=47)  # non-divisible -> crop to 32x40 at grid 8
+    g = 8
+    s = luma_grid_sums(pix, grid=g)
+    h2, w2 = 32, 40
+    p = pix[:h2, :w2].astype(np.int64)
+    lum = 299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]
+    bh, bw = h2 // g, w2 // g
+    brute = np.array(
+        [
+            lum[i * bh:(i + 1) * bh, j * bw:(j + 1) * bw].sum()
+            for i in range(g)
+            for j in range(g)
+        ],
+        dtype=np.int64,
+    )
+    assert s.dtype == np.int64 and s.shape == (g * g,)
+    assert (s == brute).all()
+
+
+def test_luma_grid_sums_rejects_too_small_image():
+    import pytest
+
+    from dynaalign_spark.codec import luma_grid_sums
+
+    with pytest.raises(ValueError):
+        luma_grid_sums(_img(12, h=7, w=40), grid=8)

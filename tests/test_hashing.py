@@ -125,3 +125,44 @@ def test_hamming64():
     a = np.array([0, -1, 0x0F], dtype=np.int64)
     b = np.array([0, 0, 0x00], dtype=np.int64)
     assert hamming64(a, b).tolist() == [0, 64, 4]
+
+
+def test_simhash_bits_int_sign_matches_float_centering_and_scale_invariance():
+    from dynaalign_spark.hashing import simhash_bits_int, simhash_planes_int
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    sums = rng.integers(0, 255_000, (80, 64)).astype(np.int64)
+    f = simhash_bits_int(sums, seed=11)
+    # per-row positive scaling (different block areas) never changes the bits
+    assert (simhash_bits_int(sums * 7, seed=11) == f).all()
+    # sign of the exact integer projection == sign of the float centered
+    # projection wherever the float is comfortably away from 0
+    planes = simhash_planes_int(64, seed=11)
+    d = sums.shape[1]
+    proj = d * (sums @ planes) - sums.sum(1, keepdims=True) * planes.sum(
+        0, keepdims=True
+    )
+    cent = sums.astype(np.float64)
+    cent -= cent.mean(1, keepdims=True)
+    proj_f = cent @ planes.astype(np.float64)
+    safe = np.abs(proj_f) > 1.0
+    assert (np.sign(proj[safe]) == np.sign(proj_f[safe])).all()
+    # packing: bit i of row r == (proj[r, i] >= 0)
+    bits = (proj >= 0).astype(np.uint64)
+    man = np.zeros(sums.shape[0], np.uint64)
+    for i in range(64):
+        man |= bits[:, i] << np.uint64(i)
+    assert (man.view(np.int64) == f).all()
+
+
+def test_simhash_bits_int_locality():
+    from dynaalign_spark.hashing import simhash_bits_int
+
+    rng = np.random.Generator(np.random.PCG64(10))
+    base = rng.integers(0, 255_000, (6, 256)).astype(np.int64)
+    near = base + rng.integers(-500, 500, base.shape)
+    far = rng.integers(0, 255_000, base.shape).astype(np.int64)
+    a = simhash_bits_int(base, seed=4242)
+    b = simhash_bits_int(near, seed=4242)
+    c = simhash_bits_int(far, seed=4242)
+    assert hamming64(a, b).mean() < hamming64(a, c).mean()
