@@ -4,11 +4,13 @@
 sf0.001 ``documents`` table. ``queries()`` exposes one callable per
 implemented operator from SURVEY.md §2 (+ the training-pipeline extensions);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
-one — including winnowing fingerprints and relational SimHash, whose shared
-polynomial rolling hash DuckDB reproduces bit-for-bit. Non-SQL ops (murmur3
-MinHash signatures, LSH banding, connected components, pixel SimHash,
-consensus) are rows-only checked here and checked bit-exactly against the
-seeded in-memory oracle in tests/ (SURVEY.md §5.2).
+one — including murmur3 MinHash signatures (pure-SQL murmur twin), the
+winnowing/SimHash rolling hashes, the full integer-lattice pixel SimHash
+dedup chain (byte-level decode -> block sums -> inlined integer hyperplanes
+-> Hamming -> integer PSNR -> reachability), and connected components
+(recursive-CTE reachability). The only rows-only queries left are the
+genuinely non-SQL ones — Louvain refinement and IVF k-means — each checked
+bit-exactly against seeded in-memory oracles in tests/ (SURVEY.md §5.2).
 """
 
 from __future__ import annotations
@@ -433,16 +435,23 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 def q_pixel_dedup_clusters(spark, sf_dir):
     """SimHash pixel tier on the deterministic synthetic images fixture
-    (BASELINE.json input_hint shape; decode + hyperplane-sign + Hamming-ball
-    LSH + PSNR verify are not SQL-expressible -> rows-only check; pytest
-    holds the seeded oracles)."""
+    (BASELINE.json input_hint shape): decode -> integer-lattice SimHash
+    (cfg.simhash_kernel="int": luma block sums + exact int64 centered
+    projection) -> Hamming-ball LSH -> PSNR>=40dB verify -> CC. VALUE-EXACT
+    vs _duck_pixel_clusters, which replays the whole chain in pure integer
+    SQL (byte-level decode, block sums, inlined integer hyperplanes,
+    popcount-by-bit-join, sse*10^4 <= 255^2*3*n_px, recursive-CTE
+    reachability). CC labels are min member ids (components._small_star
+    convergence), matching the oracle's min(reachable)."""
     from dynaalign_spark.fixtures import images_df, make_images
     from dynaalign_spark.operators.simhash import dedup_pixels
 
     rows, _ = make_images(n_clusters=60, seed=4242)
     images = images_df(spark, rows)
     res = dedup_pixels(images, PARITY, verify_psnr=True)
-    return res["clusters"].orderBy("image_id")
+    return res["clusters"].select(
+        "image_id", F.col("component").alias("cluster_id")
+    ).orderBy("image_id")
 
 
 def q_image_features(spark, sf_dir):
@@ -851,19 +860,16 @@ def _duck_byte(pos: str) -> str:
     return f"({hv(c1)}*16 + {hv(c2)})"
 
 
-def _duck_image_features() -> str:
-    """DuckDB twin of q_image_features: the fixture's raw encoded bytes are
-    inlined as hex literals (the input DATA — same rows the Spark query
-    builds; the sandbox ships no image parquet) and the entire decode is
-    INDEPENDENT SQL: PPM header parsed by regexp over chr()-built prefix,
-    QRS dims/step from little-endian header bytes, every pixel re-read via
-    hex-digit arithmetic, QRS midpoint reconstruction replayed, and the
-    integer-scaled luma stats recomputed with the same fixed-order float
-    chain as operators/simhash.decode_features (bit-identical by
-    construction). Verifies the mapInPandas decode path cell-by-cell."""
-    from dynaalign_spark.fixtures import make_images
-
-    rows, _ = make_images(n_clusters=40, seed=777)
+def _duck_rgb(rows) -> str:
+    """Shared decode CTE chain ``raw .. rgb`` for image oracles: the
+    fixture's raw encoded bytes inlined as hex literals (the input DATA —
+    same rows the Spark query builds; the sandbox ships no image parquet)
+    and the entire decode as INDEPENDENT SQL: PPM header parsed by regexp
+    over a chr()-built prefix, QRS dims/step from little-endian header
+    bytes, every pixel re-read via hex-digit arithmetic, QRS midpoint
+    reconstruction replayed. Ends with
+    ``rgb (image_id, w, h, px, r, g, bb)`` — px is the 1-based row-major
+    pixel index — MATERIALIZED (several downstream CTEs re-scan it)."""
     vals = ", ".join(
         f"('{r['image_id']}', '{r['fmt']}', '{bytes(r['bytes']).hex()}')"
         for r in rows
@@ -876,7 +882,7 @@ def _duck_image_features() -> str:
         f"o -> chr(case when {b('o')} = 0 then 32 else {b('o')} end)), '')"
     )
     return (
-        f"with raw(image_id, fmt, hx) as (values {vals}), "
+        f"raw(image_id, fmt, hx) as (values {vals}), "
         f"hd0 as (select image_id, fmt, hx, {hdrstr} as hdr from raw), "
         "hd1 as (select image_id, fmt, hx, "
         "regexp_extract(hdr, '^P6\\n(\\d+) (\\d+)\\n255\\n', 1) as ws, "
@@ -891,15 +897,28 @@ def _duck_image_features() -> str:
         "else 9 end as off from hd1), "
         "allpx as (select unnest(generate_series(1, "
         "(select max(w*h) from hdr))) as px), "
-        "pxv as (select image_id, fmt, q, w, h, "
+        "pxv as (select image_id, fmt, q, w, h, px, "
         f"{b('off + 3*px - 2')} as r0, {b('off + 3*px - 1')} as g0, "
         f"{b('off + 3*px')} as b0 "
         "from hdr cross join allpx where px <= w*h), "
-        "rgb as (select image_id, w, h, "
+        "rgb as materialized (select image_id, w, h, px, "
         "case when fmt = 'qrs' then least(r0*q + q//2, 255) else r0 end as r, "
         "case when fmt = 'qrs' then least(g0*q + q//2, 255) else g0 end as g, "
         "case when fmt = 'qrs' then least(b0*q + q//2, 255) else b0 end as bb "
-        "from pxv), "
+        "from pxv)"
+    )
+
+
+def _duck_image_features() -> str:
+    """DuckDB twin of q_image_features: _duck_rgb byte-level decode, then
+    the integer-scaled luma stats recomputed with the same fixed-order float
+    chain as operators/simhash.decode_features (bit-identical by
+    construction). Verifies the mapInPandas decode path cell-by-cell."""
+    from dynaalign_spark.fixtures import make_images
+
+    rows, _ = make_images(n_clusters=40, seed=777)
+    return (
+        f"with {_duck_rgb(rows)}, "
         "st as (select image_id, w, h, "
         "sum(299*r + 587*g + 114*bb)::bigint as s1, "
         "sum((299*r + 587*g + 114*bb)*(299*r + 587*g + 114*bb))::bigint as s2, "
@@ -909,6 +928,82 @@ def _duck_image_features() -> str:
         "select image_id, w, h, round(mean, 6) as mean_luma_r, "
         "round(sqrt(greatest(var, 0.0)), 6) as std_luma_r, "
         "64::int as n_features from fin order by image_id"
+    )
+
+
+def _duck_pixel_clusters(grid: int = 16) -> str:
+    """DuckDB twin of q_pixel_dedup_clusters — the ENTIRE pixel tier in pure
+    integer SQL over the same inlined fixture bytes:
+
+    decode (_duck_rgb) -> integer luma block sums over the grid-divisible
+    crop (codec.luma_grid_sums) -> sign of the exact int64 centered
+    projection ``d*dot(s,p) - sum(s)*sum(p)`` against the inlined
+    integer-quantized hyperplanes (hashing.simhash_planes_int literals;
+    ties bit=1 == ``>= 0`` both sides) -> Hamming distance by bit-table
+    join (no 64-bit packing, so no sign-bit hazard) -> PSNR >= 40 dB as the
+    exact integer inequality ``sse * 10^(40/10) <= 255^2 * 3*w*h``
+    (shape-mismatched pairs excluded by the w/h join condition, as the
+    engine's -inf) -> recursive-CTE reachability with min-member labels.
+
+    Equivalence assumptions (documented like the lsh_candidates oracle):
+    the engine's chunk-pair Hamming LSH is complete below
+    band_group_cap (fixture groups are far smaller), and the engine's float
+    ``10*log10(255^2/mse) >= 40.0`` agrees with the exact inequality unless
+    a pair sits within ~1e-13 of exactly 40 dB (the boundary case
+    sse*10^4 == 65025*3*n is exact both sides: log10(10^4) == 4.0 in IEEE).
+    """
+    from dynaalign_spark.fixtures import make_images
+    from dynaalign_spark.hashing import simhash_planes_int
+
+    assert PARITY.psnr_threshold_db == 40.0  # 10^(thr/10) == 10000 exactly
+    rows, _ = make_images(n_clusters=60, seed=4242)
+    planes = simhash_planes_int(grid * grid, PARITY.simhash_seed, PARITY.simhash_bits)
+    pvals = ", ".join(
+        f"({c},{bit},{int(planes[c, bit])})"
+        for c in range(planes.shape[0])
+        for bit in range(planes.shape[1])
+    )
+    d = grid * grid
+    mh = PARITY.simhash_max_hamming
+    return (
+        f"with recursive {_duck_rgb(rows)}, "
+        f"planes(c, bit, p) as (values {pvals}), "
+        "blk as (select image_id, w, h, "
+        "((px-1) // w) as row0, ((px-1) % w) as col0, "
+        "299*r + 587*g + 114*bb as lum from rgb), "
+        "sums as materialized (select image_id, "
+        f"(row0 // (h // {grid})) * {grid} + (col0 // (w // {grid})) as c, "
+        "sum(lum)::bigint as s "
+        f"from blk where row0 < (h // {grid}) * {grid} "
+        f"and col0 < (w // {grid}) * {grid} group by 1, 2), "
+        "rowsum as (select image_id, sum(s)::bigint as ss from sums group by 1), "
+        "psum as (select bit, sum(p)::bigint as pp from planes group by 1), "
+        f"proj as (select sums.image_id, planes.bit, "
+        f"{d} * sum(sums.s * planes.p)::bigint as dotd "
+        "from sums join planes on planes.c = sums.c group by 1, 2), "
+        "bits as materialized (select proj.image_id, proj.bit, "
+        "(proj.dotd - rowsum.ss * psum.pp >= 0) as bv "
+        "from proj join rowsum using (image_id) join psum using (bit)), "
+        "ham as (select x.image_id as a, y.image_id as b, "
+        "sum(case when x.bv <> y.bv then 1 else 0 end)::int as hamming "
+        "from bits x join bits y on x.bit = y.bit and x.image_id < y.image_id "
+        f"group by 1, 2 having hamming <= {mh}), "
+        "sse as (select ham.a, ham.b, "
+        "sum((pa.r - pb.r)*(pa.r - pb.r) + (pa.g - pb.g)*(pa.g - pb.g) "
+        "+ (pa.bb - pb.bb)*(pa.bb - pb.bb))::bigint as e, "
+        "max(pa.w * pa.h) as n_px "
+        "from ham join rgb pa on pa.image_id = ham.a "
+        "join rgb pb on pb.image_id = ham.b and pb.px = pa.px "
+        "and pb.w = pa.w and pb.h = pa.h "
+        "group by 1, 2), "
+        "vedges as (select a, b from sse where e * 10000 <= 65025 * 3 * n_px), "
+        "e2 as (select a as x, b as y from vedges "
+        "union select b as x, a as y from vedges), "
+        "vx as (select distinct x as id from e2), "
+        "reach(id, r) as (select id, id from vx "
+        "union select reach.id, e2.y from reach join e2 on e2.x = reach.r), "
+        "comp as (select id as image_id, min(r) as cluster_id from reach group by id) "
+        "select image_id, cluster_id from comp order by image_id"
     )
 
 
@@ -1412,6 +1507,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cluster_consensus": _duck_consensus(),
         "image_features": _duck_image_features(),
+        "pixel_dedup_clusters": _duck_pixel_clusters(),
         "audio_features": _duck_audio_features(),
         "frame_sample": _duck_frame_sample(),
         "nw_similarity": _duck_nw(_nw_pairs_sql(all_pairs=True)),

@@ -89,6 +89,11 @@ class DedupConfig:
     simhash_bits: int = 64
     simhash_seed: int = 4242
     simhash_max_hamming: int = 8
+    # "int": integer-lattice fingerprint (codec.luma_grid_sums +
+    # hashing.simhash_bits_int) — bit-identical across engines/BLAS/hardware,
+    # hence SQL-oracle-checkable; "float": gaussian-projection over the
+    # float luma grid (hashing.simhash_bits), kept for dense float features.
+    simhash_kernel: str = "int"
     psnr_threshold_db: float = 40.0
 
     # suffix / substring tier

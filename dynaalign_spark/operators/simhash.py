@@ -6,9 +6,12 @@ of decoded pixels:
 
 1. ``add_simhash``      — vectorized pandas UDF: decode `bytes` per `fmt`
    (codec.decode_image; real-world codecs are stubbed per sandbox note),
-   luma-grid features, sign of seeded gaussian projections packed to int64.
-   Narrow map stage; `bytes` is read ONLY here (column pruning keeps it out
-   of the caption tier's scan).
+   integer luma-grid block sums, sign of seeded integer-lattice hyperplane
+   projections packed to int64 (cfg.simhash_kernel="int"; exact in int64, so
+   bit-identical across engines and value-checkable by the driver's DuckDB
+   twin; "float" keeps the round-1 gaussian kernel). Narrow map stage;
+   `bytes` is read ONLY here (column pruning keeps it out of the caption
+   tier's scan).
 2. ``simhash_candidates`` — Hamming-ball LSH via hamming.hamming_candidates:
    composite chunk-PAIR keys (q = max_hamming + 2 chunks; any pair within
    ``max_hamming`` has >= 2 clean chunks, so it agrees on some chunk-index
@@ -29,26 +32,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-from ..codec import decode_image, psnr, simhash_features
+from ..codec import decode_image, luma_grid_sums, psnr, simhash_features
 from ..config import DedupConfig
 from ..hamming import hamming_candidates
-from ..hashing import simhash_bits
+from ..hashing import simhash_bits, simhash_bits_int
 
 
 def simhash_udf(cfg: DedupConfig, grid: int = 16):
+    """Fingerprint pandas UDF for cfg.simhash_kernel:
+
+    - "int" (default): integer-exact lattice SimHash — codec.luma_grid_sums
+      block sums + hashing.simhash_bits_int. No float enters the bit
+      decision, so the fingerprint is bit-identical across engines (the
+      value-exact DuckDB twin in __spark_entry__ recomputes it in pure
+      integer SQL).
+    - "float": gaussian projection over the mean-centered float luma grid
+      (the round-1 kernel; kept for A/B and dense float features).
+    """
     seed = cfg.simhash_seed
     bits = cfg.simhash_bits
+    kernel = cfg.simhash_kernel
+    if kernel not in ("int", "float"):
+        raise ValueError(f"unknown simhash_kernel {kernel!r}")
 
     @F.pandas_udf(LongType())
     def _sh(data: pd.Series, fmt: pd.Series) -> pd.Series:
-        feats = np.zeros((len(data), grid * grid))
-        ok = np.ones(len(data), dtype=bool)
+        n = len(data)
+        ok = np.ones(n, dtype=bool)
+        if kernel == "int":
+            feats = np.zeros((n, grid * grid), dtype=np.int64)
+        else:
+            feats = np.zeros((n, grid * grid))
         for i, (b, f) in enumerate(zip(data, fmt)):
             try:
-                feats[i] = simhash_features(decode_image(bytes(b), f), grid=grid)
+                pix = decode_image(bytes(b), f)
+                if kernel == "int":
+                    feats[i] = luma_grid_sums(pix, grid=grid)
+                else:
+                    feats[i] = simhash_features(pix, grid=grid)
             except Exception:
                 ok[i] = False
-        out = simhash_bits(feats, seed=seed, bits=bits).astype(np.int64)
+        fn = simhash_bits_int if kernel == "int" else simhash_bits
+        out = fn(feats, seed=seed, bits=bits).astype(np.int64)
         return pd.Series([int(v) if k else None for v, k in zip(out, ok)])
 
     return _sh

@@ -31,7 +31,17 @@ def images(spark, fixture_rows):
     return images_df(spark, rows).cache()
 
 
-def _oracle_simhash(rows, grid=16):
+def _oracle_simhash(rows, grid=16, kernel="int"):
+    """Per-row fingerprint recomputed directly from the codec (no Spark)."""
+    if kernel == "int":
+        from dynaalign_spark.codec import luma_grid_sums
+        from dynaalign_spark.hashing import simhash_bits_int
+
+        sums = np.stack(
+            [luma_grid_sums(decode_image(bytes(r["bytes"]), r["fmt"]), grid=grid)
+             for r in rows]
+        )
+        return simhash_bits_int(sums, seed=CFG.simhash_seed, bits=CFG.simhash_bits)
     feats = np.stack(
         [simhash_features(decode_image(bytes(r["bytes"]), r["fmt"]), grid=grid) for r in rows]
     )
@@ -42,6 +52,17 @@ def test_add_simhash_matches_oracle(spark, images, fixture_rows):
     rows, _ = fixture_rows
     got = {r["image_id"]: r["simhash"] for r in add_simhash(images, CFG).collect()}
     expect = _oracle_simhash(rows)
+    for i, r in enumerate(rows):
+        assert got[r["image_id"]] == int(expect[i])
+
+
+def test_add_simhash_float_kernel_matches_oracle(spark, images, fixture_rows):
+    """The round-1 gaussian-projection kernel stays available behind
+    cfg.simhash_kernel='float' and still matches its numpy twin."""
+    rows, _ = fixture_rows
+    cfg = CFG.with_(simhash_kernel="float")
+    got = {r["image_id"]: r["simhash"] for r in add_simhash(images, cfg).collect()}
+    expect = _oracle_simhash(rows, kernel="float")
     for i, r in enumerate(rows):
         assert got[r["image_id"]] == int(expect[i])
 
