@@ -1299,8 +1299,73 @@ def _duck_ann_lsh_topk(k: int = 5, dim: int = 64, bucket_bits: int = 8,
     )
 
 
+def _duck_ivf_topk(k: int = 5, n_centroids: int = 32, n_probe: int = 4,
+                   seed: int = 777, sample_max: int = 20_000) -> str | None:
+    """DuckDB twin of q_ann_ivf_topk. The coarse-quantizer centroids are
+    derived OUTSIDE Spark from the same deterministic sample (lowest
+    ``sample_max`` vec_ids of the sf0.01 embeddings parquet) by the engine's
+    own numpy kernel (annsearch.ivf_centroids_np) — the inlined-constants
+    pattern simhash_planes_int / hyperplanes established: the constants'
+    kernel is pytest-gated (tests/test_annsearch_vec.py), and everything
+    AFTER them is replayed independently in SQL — cell assignment (argmax
+    dot with min-id tiebreak; normalization drops out of the argmax), the
+    n_probe probe set, the single-cell equi-join candidate set, exact
+    cosine, and the (cosine desc, vec_id) top-k ranking.
+
+    Float-order assumption (same class as the other value-exact cosine
+    oracles): numpy's blocked dot vs DuckDB's sequential list_inner_product
+    differ at ~1e-16 relative, so the argmax / probe-boundary decisions
+    agree unless two DISTINCT k-means centroids score within roundoff of
+    each other for some row — which requires exact float64 ties this data
+    does not produce.
+
+    Returns None (key omitted -> the driver's rows-only check, the r02
+    status quo) if the canonical driver testdata parquet is absent.
+    """
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dynaalign_spark.annsearch import ivf_centroids_np
+
+    t = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
+    t = t.sort_values("vec_id").head(sample_max)
+    x = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    cents = ivf_centroids_np(x, n_centroids, seed=seed)
+    cvals = ", ".join(
+        "({}, [{}]::double[])".format(
+            c, ", ".join(repr(float(w)) for w in cents[c]))
+        for c in range(cents.shape[0])
+    )
+    return (
+        "with e as (select vec_id, embedding::double[] as v from embeddings), "
+        f"cent(c, w) as (values {cvals}), "
+        # n_centroids-way fan-out per row — the SQL mirror of the engine
+        # broadcasting the centroid table into its assignment UDF
+        "sc as (select e.vec_id, cent.c, list_inner_product(e.v, cent.w) as s "
+        "from e cross join cent), "
+        "rk as (select vec_id, c, row_number() over "
+        "(partition by vec_id order by s desc, c) as rn from sc), "
+        "cell as (select vec_id, c from rk where rn = 1), "
+        "probe as (select vec_id as qid, c from rk "
+        f"where vec_id < 10 and rn <= {n_probe}), "
+        "cand as (select probe.qid, cell.vec_id from probe "
+        "join cell on cell.c = probe.c and cell.vec_id != probe.qid), "
+        "sco as (select cand.qid, cand.vec_id, "
+        "list_cosine_similarity(q.v, n.v) as cosine "
+        "from cand join e q on q.vec_id = cand.qid "
+        "join e n on n.vec_id = cand.vec_id) "
+        "select qid, vec_id, round(cosine, 5) as cosine_r, rnk from ("
+        " select qid, vec_id, cosine, row_number() over "
+        " (partition by qid order by cosine desc, vec_id) as rnk from sco) "
+        f"where rnk <= {k}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "shingle_counts": (
             f"select doc_id, count(*) as n_shingles, count(distinct shingle) as n_distinct "
             f"from ({_SHINGLES.format(k=K)}) group by doc_id"
@@ -1513,3 +1578,7 @@ def oracle_sql() -> dict[str, str]:
         "nw_similarity": _duck_nw(_nw_pairs_sql(all_pairs=True)),
         "nw_verified_pairs": _duck_nw(_nw_pairs_sql(all_pairs=False)),
     }
+    ivf = _duck_ivf_topk()
+    if ivf is not None:
+        out["ann_ivf_topk"] = ivf
+    return out

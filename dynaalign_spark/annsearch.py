@@ -355,6 +355,19 @@ def ivf_centroids(
         .collect()
     )
     x = np.array([r["_v"] for r in sample], dtype=np.float64)
+    return ivf_centroids_np(x, n_centroids, seed=seed, iters=iters)
+
+
+def ivf_centroids_np(x: np.ndarray, n_centroids: int, seed: int = 777,
+                     iters: int = 8) -> np.ndarray:
+    """Numpy core of ``ivf_centroids``: deterministic seeded spherical
+    k-means on an already-collected (n, dim) sample. Split out so the
+    driver-contract oracle (__spark_entry__._duck_ivf_topk) can derive the
+    same centroid constants from the same sample read outside Spark — the
+    inlined-constants pattern hashing.simhash_planes_int established: the
+    constants come from the engine's own deterministic kernel (pytest-gated
+    in tests/test_annsearch_vec.py), and everything *after* them is replayed
+    independently in SQL."""
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
     rng = np.random.Generator(np.random.PCG64(seed))
     # kmeans++-style seeded init on the normalized sample
