@@ -98,7 +98,9 @@ def bench_queries(spark):
 
     def dedup_images():
         images = spark.read.parquet(img_path)
-        res = clusterbreak_spark(images, SCALE.with_(size_max=50, size_min=1))
+        res = clusterbreak_spark(
+            images, SCALE.with_(size_max=50, size_min=1,
+                                cache_storage=_default_storage()))
         return res["clusters"]
 
     def dedup_multitier():
@@ -107,7 +109,8 @@ def bench_queries(spark):
         from dynaalign_spark.operators.simhash import pixel_edges
 
         images = spark.read.parquet(img_path)
-        cfg = SCALE.with_(size_max=50, size_min=1)
+        cfg = SCALE.with_(size_max=50, size_min=1,
+                          cache_storage=_default_storage())
         # PSNR-verified (the north-rule per-row invariant): unverified
         # simhash candidates on smooth synthetic images weld 76% of the
         # corpus into one mega-component (false near-dups) and trigger 4
@@ -177,7 +180,7 @@ def run_bench() -> dict:
 
     sub_before = _substrate_probe()
     spark = get_spark(app="dynaalign-bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=int(CPUS))
+                      shuffle_partitions=int(CPUS), extra=_env_extra())
     spark.sparkContext.setLogLevel("ERROR")
     qs, img_path = bench_queries(spark)
     n_images = spark.read.parquet(img_path).count()
@@ -224,11 +227,9 @@ def _worker_dedup(cpus: int) -> None:
     images = spark.read.parquet(path)
     n = images.count()
     # verify-join strategy A/B knob (BENCH.md): override sig_broadcast_max
-    cfg = SCALE.with_(size_max=50, size_min=1)
+    cfg = SCALE.with_(size_max=50, size_min=1, cache_storage=_default_storage())
     if os.environ.get("DYNA_SIG_BCAST_MAX"):
         cfg = cfg.with_(sig_broadcast_max=int(os.environ["DYNA_SIG_BCAST_MAX"]))
-    if os.environ.get("DYNA_STORAGE"):
-        cfg = cfg.with_(cache_storage=os.environ["DYNA_STORAGE"])
     tiers = _scale_tiers()
 
     def extra_edges(imgs):
@@ -301,7 +302,8 @@ def _scaling_input_bytes() -> int | None:
 
 def _env_extra() -> dict:
     """DYNA_CONF='k=v;k=v' -> extra Spark conf (A/B knobs for BENCH.md);
-    DYNA_GC -> driver JVM options."""
+    DYNA_GC -> driver JVM options; DYNA_OFFHEAP -> off-heap memory size
+    ('0' disables)."""
     extra = {}
     for kv in os.environ.get("DYNA_CONF", "").split(";"):
         if "=" in kv:
@@ -309,7 +311,31 @@ def _env_extra() -> dict:
             extra[k.strip()] = v.strip()
     if os.environ.get("DYNA_GC"):
         extra["spark.driver.extraJavaOptions"] = os.environ["DYNA_GC"]
+    # Off-heap execution+storage memory, default ON (r3 A/B, BENCH.md):
+    # cached columnar batches and shuffle/execution buffers leave the GC
+    # heap, decoupling the Python-heavy stages from earlier stages' cache
+    # residency — the round-2 profile showed shared-heap GC as the serial
+    # cost limiting in-pipeline stage scaling (refine 0.35 in-pipeline vs
+    # 0.86 clean-JVM). Measured local[32] 1.6M: wall 345.3s -> 194.4s with
+    # the substrate probe slightly WORSE during the off-heap leg. Same
+    # deser cost as on-heap (the SQL cache is columnar bytes either way);
+    # unlike the rejected DISK_ONLY variant there is no tmpfs copy.
+    oh = _offheap_size()
+    if oh != "0":
+        extra.setdefault("spark.memory.offHeap.enabled", "true")
+        extra.setdefault("spark.memory.offHeap.size", oh)
     return extra
+
+
+def _offheap_size() -> str:
+    return os.environ.get("DYNA_OFFHEAP", "16g")
+
+
+def _default_storage() -> str:
+    """Stage-cache StorageLevel paired with the off-heap conf."""
+    if os.environ.get("DYNA_STORAGE"):
+        return os.environ["DYNA_STORAGE"]
+    return "OFF_HEAP" if _offheap_size() != "0" else "MEMORY_AND_DISK"
 
 
 def _worker_profile(cpus: int) -> None:
@@ -323,15 +349,16 @@ def _worker_profile(cpus: int) -> None:
                       shuffle_partitions=cpus, extra=_env_extra())
     spark.sparkContext.setLogLevel("ERROR")
     images = spark.read.parquet(scaling_parquet(spark))
-    warm = clusterbreak_spark(images.limit(20_000), SCALE.with_(size_max=50, size_min=1))
+    prof_cfg = SCALE.with_(size_max=50, size_min=1,
+                           cache_storage=_default_storage())
+    warm = clusterbreak_spark(images.limit(20_000), prof_cfg)
     warm["clusters"].count()
     for key in ("signatures", "pairs", "components"):
         warm[key].unpersist()
     for rep in range(2):
         prof: dict = {}
         t0 = time.time()
-        res = clusterbreak_spark(images, SCALE.with_(size_max=50, size_min=1),
-                                 profile=prof)
+        res = clusterbreak_spark(images, prof_cfg, profile=prof)
         tr = time.time()
         res["clusters"].count()
         prof["refine"] = round(time.time() - tr, 3)
