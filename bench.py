@@ -208,7 +208,7 @@ def run_bench() -> dict:
     }
 
 
-def _worker_dedup(cpus: int) -> None:
+def _worker_dedup(cpus: int, n_reps: int = 2) -> None:
     """Subprocess body: one dedup job at local[cpus]; prints a JSON line."""
     from dynaalign_spark.config import SCALE
     from dynaalign_spark.operators.clusterbreak import clusterbreak_spark
@@ -268,12 +268,14 @@ def _worker_dedup(cpus: int) -> None:
     warm["signatures"].unpersist()
     warm["pairs"].unpersist()
     warm["components"].unpersist()
-    # min-of-2 repetitions: single-shot local-mode timings swing +-20% with
-    # GC/page-cache state; the minimum is the standard steady-state estimate
-    # and is applied identically at both parallelism levels
+    # min-of-n_reps repetitions: single-shot local-mode timings swing +-20%
+    # with GC/page-cache state; the minimum is the standard steady-state
+    # estimate and is applied identically at both parallelism levels.
+    # (The interleaved scaling schedule calls this with n_reps=1 and takes
+    # its min across invocations instead.)
     reps = []
     n_out = 0
-    for _ in range(2):
+    for _ in range(n_reps):
         t0 = time.time()
         res = run_once(images)
         n_out = res["clusters"].count()
@@ -414,10 +416,27 @@ def run_scaling() -> dict:
         return {f"alu_{lo}": round(a_lo), f"alu_{hi}": round(a_hi),
                 "eff": round(a_hi / (factor * a_lo), 3)}
 
-    out = {}
+    # Schedule (DYNA_SCHEDULE): 'interleave' (default) runs FOUR single-rep
+    # workers lo,hi,lo,hi and takes the per-level best — both parallelism
+    # levels sample the same hypervisor-grant timeline. The old 'block'
+    # order (all lo reps, then all hi reps) is maximally exposed to a
+    # monotonic burst-credit drain: measured on 2026-08-18, a block run's
+    # 32-core leg ran 334.7s min where the SAME code/config/data measured
+    # 194.4s ninety minutes earlier, while its 8-core leg (first, on
+    # refilled credits) ran 227.3s — a raw "0.17 efficiency" that is pure
+    # substrate sequencing, no pipeline story at all. Interleaving cannot
+    # stop the grant from moving, but it stops the ordering from loading
+    # the dice for either level.
+    schedule = (
+        [(lo, 1), (hi, 1), (lo, 1), (hi, 1)]
+        if os.environ.get("DYNA_SCHEDULE", "interleave") == "interleave"
+        else [(lo, 2), (hi, 2)]
+    )
+    runs: dict[int, list] = {lo: [], hi: []}
     sub = {"before": substrate_eff()}
-    for cpus in (lo, hi):
-        cmd = [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)]
+    for cpus, n_reps in schedule:
+        cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+               str(cpus), str(n_reps)]
         if shutil.which("taskset") and (os.cpu_count() or 0) >= cpus:
             cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         # DYNA_WORKER_TIMEOUT: on a throttled hypervisor window the same leg
@@ -434,8 +453,13 @@ def run_scaling() -> dict:
                 f"DYNA_SCALE_ROWS or larger DYNA_WORKER_TIMEOUT"
             )
         line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
-        out[cpus] = json.loads(line)
+        runs[cpus].append(json.loads(line))
     sub["after"] = substrate_eff()
+    out = {}
+    for cpus in (lo, hi):
+        best = max(runs[cpus], key=lambda d: d["images_per_sec"])
+        out[cpus] = {**best,
+                     "reps": [r for d in runs[cpus] for r in d["reps"]]}
     eff = out[hi]["images_per_sec"] / (factor * out[lo]["images_per_sec"])
     ceiling = (sub["before"]["eff"] + sub["after"]["eff"]) / 2.0
     return {
@@ -443,6 +467,7 @@ def run_scaling() -> dict:
         "value": round(eff, 3),
         "unit": "ratio",
         "tiers": _scale_tiers(),
+        "schedule": os.environ.get("DYNA_SCHEDULE", "interleave"),
         "substrate_alu": sub,
         "substrate_ceiling": round(ceiling, 3),
         "normalized_value": round(eff / ceiling, 3) if ceiling else None,
@@ -457,7 +482,8 @@ if __name__ == "__main__":
     elif len(sys.argv) > 2 and sys.argv[1] == "--worker-profile":
         _worker_profile(int(sys.argv[2]))
     elif len(sys.argv) > 2 and sys.argv[1] == "--worker":
-        _worker_dedup(int(sys.argv[2]))
+        _worker_dedup(int(sys.argv[2]),
+                      n_reps=int(sys.argv[3]) if len(sys.argv) > 3 else 2)
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(run_scaling()))
     else:
