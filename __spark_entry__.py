@@ -60,6 +60,19 @@ def entry(spark: SparkSession) -> DataFrame:
 K = 4          # reference default shingle size (src/minHash.cpp:119)
 JK = 6         # k-gram size for the exact-Jaccard tier
 JTHRESH = 0.5  # near-dup edge threshold for the exact tier
+# Hot-shingle doc-frequency cap for the exact tier (VERDICT r03 #1): shingles
+# appearing in > JMAXDF docs are stop-shingles — dropped from the membership
+# sets BEFORE the self-join, which bounds per-key fan-out at <= cap^2/2 pairs
+# per shingle at any corpus size. Value chosen empirically on the driver
+# corpus: 400 preserves the uncapped j>=0.5 pair set EXACTLY at both sf0.01
+# (max df 398 -> nothing dropped) and sf0.1 (the ~2.6k super-hot df~3800
+# stop-shingles dropped; same 256 pairs, 4x faster), while an aggressive cap
+# (<=200) shrinks unions enough to inflate weak pairs past the threshold
+# (6.3k pairs at sf0.1) — measured r4. inter/union counts are over the capped
+# sets (standard stop-shingle semantics); the DuckDB oracle applies the
+# identical cap. The LSH-banded form (textops.ngram_jaccard_pairs_lsh)
+# remains the pair-GENERATION scale path past ~10^8 docs.
+JMAXDF = 400
 
 
 def q_shingle_counts(spark, sf_dir):
@@ -75,7 +88,9 @@ def q_vocab_top(spark, sf_dir):
 
 
 def _jaccard_pairs(spark, sf_dir):
-    return textops.ngram_jaccard_pairs(_docs(spark, sf_dir), JK, threshold=JTHRESH)
+    return textops.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), JK, threshold=JTHRESH, max_doc_freq=JMAXDF
+    )
 
 
 def q_jaccard_pairs(spark, sf_dir):
@@ -349,12 +364,18 @@ def q_dedup_clusters(spark, sf_dir):
 
 def q_dedup_clusters_louvain(spark, sf_dir):
     """Production path: full clusterbreak with per-component Louvain refine
-    + size triage (rows-only here; the seeded in-memory oracle in
-    tests/test_spark_pipeline.py checks the partition bit-exactly)."""
+    + size triage. Labels are canonicalized to the min member id (the
+    partition is what's checked, not the "itr.cid" label scheme); the value
+    oracle is a committed golden of the seeded deterministic partition at
+    sf0.01 (tests/golden/louvain_clusters_sf001.json — VERDICT r03 #2,
+    regenerated by scripts/make_louvain_golden.py and drift-gated by
+    tests/test_spark_pipeline.py). The same seeded in-memory oracle check
+    remains in pytest; at other SFs the golden doesn't apply and the driver
+    falls back to the rows-only check."""
     res = clusterbreak_spark(
         _docs_as_images(spark, sf_dir), PARITY.with_(size_max=50, size_min=1)
     )
-    return res["clusters"]
+    return _canonical_clusters(res)
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -599,8 +620,13 @@ _SHINGLES = (
 )
 
 _JPAIRS = f"""
-with memb as (
+with raw as (
   select distinct doc_id, shingle from ({_SHINGLES.format(k=JK)})
+), ok as (
+  -- hot-shingle cap, mirroring textops.ngram_jaccard_pairs(max_doc_freq=JMAXDF)
+  select shingle from raw group by shingle having count(*) <= {JMAXDF}
+), memb as (
+  select raw.doc_id, raw.shingle from raw join ok using (shingle)
 ), sizes as (
   select doc_id, count(*) as sz from memb group by doc_id
 ), inter as (
@@ -1299,6 +1325,53 @@ def _duck_ann_lsh_topk(k: int = 5, dim: int = 64, bucket_bits: int = 8,
     )
 
 
+def _duck_louvain_golden() -> str | None:
+    """Golden-VALUES oracle for the Louvain production partition (VERDICT
+    r03 #2): Louvain modularity refinement is genuinely non-SQL (iterative,
+    gain-ordered), so instead of SQL-ifying it the seeded deterministic
+    partition at sf0.01 is committed as a golden table — exactly how the NW
+    goldens guard the DP. The golden stores canonical min-member labels
+    (label-scheme independent); q_dedup_clusters_louvain emits the same
+    canonical form. Applies ONLY to the driver's sf0.01 corpus — any other
+    registered SF returns None (rows-only fallback)."""
+    if os.path.basename(os.path.normpath(_oracle_sf_dir())) != "sf0.01":
+        return None
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "golden", "louvain_clusters_sf001.json")
+    if not os.path.exists(path):
+        return None
+    import json
+
+    rows = json.load(open(path))
+    vals = ", ".join(f"('{i}', '{c}')" for i, c in rows)
+    return (
+        f"select image_id, cluster_id from (values {vals}) "
+        "t(image_id, cluster_id)"
+    )
+
+
+def _oracle_sf_dir() -> str:
+    """The SF dir whose tables the oracle-runner registered (ADVICE r03 #1).
+
+    The driver's correctness gate runs at sf0.01 and does not set the env
+    var, so the default matches it; scripts/check_contract.py exports
+    DYNA_ORACLE_SF_DIR so data-dependent oracles (IVF centroids, the Louvain
+    golden) either track the registered corpus or drop to rows-only instead
+    of producing a guaranteed false MISMATCH."""
+    return os.environ.get("DYNA_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _try_oracle(fn, *a, **kw):
+    """Build one oracle SQL string, degrading THAT query to rows-only on any
+    construction failure instead of taking down the whole dict (ADVICE r03
+    #2: an assert/parquet-read/k-means error in one helper must not fail all
+    44 value checks)."""
+    try:
+        return fn(*a, **kw)
+    except Exception:
+        return None
+
+
 def _duck_ivf_topk(k: int = 5, n_centroids: int = 32, n_probe: int = 4,
                    seed: int = 777, sample_max: int = 20_000) -> str | None:
     """DuckDB twin of q_ann_ivf_topk. The coarse-quantizer centroids are
@@ -1322,7 +1395,7 @@ def _duck_ivf_topk(k: int = 5, n_centroids: int = 32, n_probe: int = 4,
     Returns None (key omitted -> the driver's rows-only check, the r02
     status quo) if the canonical driver testdata parquet is absent.
     """
-    path = "/root/testdata/sf0.01/embeddings.parquet"
+    path = os.path.join(_oracle_sf_dir(), "embeddings.parquet")
     if not os.path.exists(path):
         return None
     import numpy as np
@@ -1443,15 +1516,15 @@ def oracle_sql() -> dict[str, str]:
             "from g x join g y on x.l = y.l and x.gram = y.gram "
             "and x.doc_id < y.doc_id group by 1, 2"
         ),
-        "winnow_fingerprints": _duck_winnow(8, 4),
-        "char_matrix": (
+        "winnow_fingerprints": lambda: _duck_winnow(8, 4),
+        "char_matrix": lambda: (
             f"{_duck_rpath_cte(K)} "
             "select v.idx, memb.doc_id from memb join v using(s)"
         ),
-        "minhash_r_components": (
+        "minhash_r_components": lambda: (
             f"{_duck_rpath_sig(K)} select doc_id, h::int as h, comp from sig"
         ),
-        "minhash_r_distance": (
+        "minhash_r_distance": lambda: (
             f"{_duck_rpath_sig(K)}, "
             "ids as (select distinct doc_id from sig), "
             "ap as (select x.doc_id as a, y.doc_id as b from ids x "
@@ -1463,7 +1536,7 @@ def oracle_sql() -> dict[str, str]:
             f"round(1.0 - coalesce(mt.cnt, 0) / {float(PARITY.n_hash)}, 9) as dist_r "
             "from ap left join mt on ap.a = mt.a and ap.b = mt.b"
         ),
-        "minhash_components": (
+        "minhash_components": lambda: (
             f"{_duck_murmur_sig(K)} select image_id, h::int as h, comp from sig"
         ),
         # Uncapped-band assumption (ADVICE r02): this oracle enumerates every
@@ -1473,7 +1546,7 @@ def oracle_sql() -> dict[str, str]:
         # larger fixture or a SCALE config here would surface as an oracle
         # mismatch that is NOT an engine regression. Same note applies to
         # incremental_matches (r=1) and the _duck_cc_clusters-based oracles.
-        "lsh_candidates": (
+        "lsh_candidates": lambda: (
             f"{_duck_murmur_sig(K)}, "
             "ag as (select x.image_id as a, y.image_id as b, count(*) as cnt "
             "from sig x join sig y on x.h = y.h and x.comp = y.comp "
@@ -1491,15 +1564,15 @@ def oracle_sql() -> dict[str, str]:
             " select reach.doc_id, e.y from reach join e on e.x = reach.r) "
             "select doc_id, min(r) as component from reach group by doc_id"
         ),
-        "simhash_captions": _duck_simhash(4),
-        "simhash_pairs": (
+        "simhash_captions": lambda: _duck_simhash(4),
+        "simhash_pairs": lambda: (
             f"with s as ({_duck_simhash(4)}) "
             "select x.doc_id as a, y.doc_id as b, "
             "bit_count(xor(x.simhash, y.simhash))::int as hamming "
             "from s x join s y on x.doc_id < y.doc_id "
             "where bit_count(xor(x.simhash, y.simhash)) <= 6"
         ),
-        "embedding_neardup": _duck_neardup_lsh(0.35),
+        "embedding_neardup": lambda: _duck_neardup_lsh(0.35),
         "embedding_neardup_exact": (
             "select x.vec_id as a, y.vec_id as b, "
             "round(list_cosine_similarity(x.embedding::double[], y.embedding::double[]), 5)"
@@ -1544,13 +1617,13 @@ def oracle_sql() -> dict[str, str]:
             "select p_partkey from part where not exists "
             "(select 1 from lineitem where l_partkey = p_partkey)"
         ),
-        "minhash_signatures": (
+        "minhash_signatures": lambda: (
             f"{_duck_murmur_sig(K)} "
             "select image_id, count(*)::int as sig_len, "
             "max(case when h = 0 then comp end) as h0 "
             "from sig group by image_id"
         ),
-        "incremental_matches": (
+        "incremental_matches": lambda: (
             # r=1 band keys ARE the signature components, so a (new, known)
             # candidate = >=1 agreeing component and its sim = agreement/50
             # (self-matches included: a re-ingested doc collides with itself)
@@ -1562,23 +1635,32 @@ def oracle_sql() -> dict[str, str]:
             f"select new_id, known_id, round(cnt / {float(PARITY.n_hash)}, 9) as sim_r "
             f"from ag where cnt / {float(PARITY.n_hash)} >= 0.5"
         ),
-        "ann_lsh_topk": _duck_ann_lsh_topk(),
-        "dedup_clusters": (
+        "ann_lsh_topk": lambda: _duck_ann_lsh_topk(),
+        "dedup_clusters": lambda: (
             f"{_duck_cc_clusters()} select image_id, cluster_id from clus"
         ),
-        "multitier_clusters": (
+        "multitier_clusters": lambda: (
             f"{_duck_cc_clusters(with_xtier=True)} "
             "select image_id, cluster_id from clus"
         ),
-        "cluster_consensus": _duck_consensus(),
-        "image_features": _duck_image_features(),
-        "pixel_dedup_clusters": _duck_pixel_clusters(),
-        "audio_features": _duck_audio_features(),
-        "frame_sample": _duck_frame_sample(),
-        "nw_similarity": _duck_nw(_nw_pairs_sql(all_pairs=True)),
-        "nw_verified_pairs": _duck_nw(_nw_pairs_sql(all_pairs=False)),
+        "cluster_consensus": lambda: _duck_consensus(),
+        "image_features": lambda: _duck_image_features(),
+        "pixel_dedup_clusters": lambda: _duck_pixel_clusters(),
+        "audio_features": lambda: _duck_audio_features(),
+        "frame_sample": lambda: _duck_frame_sample(),
+        "nw_similarity": lambda: _duck_nw(_nw_pairs_sql(all_pairs=True)),
+        "nw_verified_pairs": lambda: _duck_nw(_nw_pairs_sql(all_pairs=False)),
+        "ann_ivf_topk": _duck_ivf_topk,
+        "dedup_clusters_louvain": _duck_louvain_golden,
     }
-    ivf = _duck_ivf_topk()
-    if ivf is not None:
-        out["ann_ivf_topk"] = ivf
-    return out
+    # Plain strings are pre-built (pure f-string interpolation over module
+    # constants — cannot fail); callables are evaluated via _try_oracle so a
+    # broken helper degrades ONLY its own query to the rows-only check
+    # (ADVICE r03 #2). None (construction failed / data-dependent oracle not
+    # applicable to the registered SF) drops the key.
+    resolved = {}
+    for name, v in out.items():
+        sql = v if isinstance(v, str) else _try_oracle(v)
+        if sql is not None:
+            resolved[name] = sql
+    return resolved

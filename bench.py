@@ -330,14 +330,46 @@ def _env_extra() -> dict:
 
 
 def _offheap_size() -> str:
-    return os.environ.get("DYNA_OFFHEAP", "16g")
+    """Validated/normalized DYNA_OFFHEAP (ADVICE r03 #3): '' or malformed
+    values degrade to '0' (off) rather than configuring an invalid or
+    zero-size pool; the default is sized from MemAvailable so hosts smaller
+    than the bench sandbox don't OOM (16g only when >=64 GiB is free,
+    else a quarter of available, floor 1g)."""
+    import re
+
+    raw = os.environ.get("DYNA_OFFHEAP")
+    if raw is not None:
+        raw = raw.strip().lower()
+        if re.fullmatch(r"\d+[kmgt]?b?", raw or ""):
+            return "0" if re.fullmatch(r"0+[kmgt]?b?", raw) else raw
+        return "0"
+    try:
+        avail_kb = int(
+            next(ln for ln in open("/proc/meminfo") if "MemAvailable" in ln)
+            .split()[1]
+        )
+        avail_gb = avail_kb // (1024 * 1024)
+    except Exception:
+        avail_gb = 0
+    if avail_gb >= 64:
+        return "16g"
+    return f"{max(1, avail_gb // 4)}g" if avail_gb >= 4 else "0"
 
 
-def _default_storage() -> str:
-    """Stage-cache StorageLevel paired with the off-heap conf."""
+def _default_storage(extra: dict | None = None) -> str:
+    """Stage-cache StorageLevel paired with the FINAL resolved off-heap conf
+    (ADVICE r03 #3): DYNA_CONF can override the off-heap defaults via
+    _env_extra's setdefault, and OFF_HEAP with a disabled/zero pool silently
+    fails to cache — so decide from the merged conf, not DYNA_OFFHEAP."""
     if os.environ.get("DYNA_STORAGE"):
         return os.environ["DYNA_STORAGE"]
-    return "OFF_HEAP" if _offheap_size() != "0" else "MEMORY_AND_DISK"
+    import re
+
+    conf = _env_extra() if extra is None else extra
+    enabled = conf.get("spark.memory.offHeap.enabled", "false").lower() == "true"
+    size = conf.get("spark.memory.offHeap.size", "0").strip().lower()
+    off = not enabled or not size or re.fullmatch(r"0+[kmgt]?b?", size)
+    return "MEMORY_AND_DISK" if off else "OFF_HEAP"
 
 
 def _worker_profile(cpus: int) -> None:
@@ -458,8 +490,11 @@ def run_scaling() -> dict:
     out = {}
     for cpus in (lo, hi):
         best = max(runs[cpus], key=lambda d: d["images_per_sec"])
+        # headline images_per_sec/wall come from the best invocation, so its
+        # `reps` must be that invocation's own reps (reproducible from its
+        # fields); the cross-invocation pool goes under reps_all (ADVICE r03)
         out[cpus] = {**best,
-                     "reps": [r for d in runs[cpus] for r in d["reps"]]}
+                     "reps_all": [r for d in runs[cpus] for r in d["reps"]]}
     eff = out[hi]["images_per_sec"] / (factor * out[lo]["images_per_sec"])
     ceiling = (sub["before"]["eff"] + sub["after"]["eff"]) / 2.0
     return {

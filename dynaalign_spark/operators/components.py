@@ -81,15 +81,23 @@ def connected_components(
     e = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     e = e.localCheckpoint()
     prev_sig = None
+    prev_e = e
     rounds = 0
     for rounds in range(1, max_rounds + 1):
         # lazy checkpoint: the signature agg right below materializes it, so
         # each round costs ONE job (materialize+fingerprint) instead of two
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         sig = _signature(e)
-        if sig == prev_sig:
+        # Exact fixpoint (VERDICT r03 #5): the (count, xor-hash) signature is
+        # the cheap per-round test; on a match, CONFIRM with an exact set
+        # comparison (both sides deduped + equal counts, so an empty
+        # difference <=> equal edge sets). Costs one extra job only at
+        # convergence; a 2^-64 xor collision now continues instead of
+        # terminating early with wrong components.
+        if sig == prev_sig and e.exceptAll(prev_e).isEmpty():
             break
         prev_sig = sig
+        prev_e = e
     # e is now a forest of depth-1 stars: (child > root) edges
     labels = (
         e.select(F.col("src").alias("image_id"), F.col("dst").alias("component"))

@@ -585,6 +585,38 @@ def suffix_candidates(docs: DataFrame, prefix_len: int, min_suffix: int = 8,
     At scale: suffixes ~= total chars rows; repartitionByRange on the key
     keeps the sort distributed (the reference analog is the exact tier of
     similarityNW, src/pairwiseSeqAlign.cpp:331-365 — SURVEY.md §2.4).
+
+    Equivalence to the direct ``contains`` join (the DuckDB oracle,
+    VERDICT r03 #9) is EXACT, not approximate, under the shared
+    ``length >= min_suffix`` filter — the shape of the argument:
+
+    - complete, long tier (``len(contained) >= prefix_len``): an occurrence
+      at position p leaves >= len(contained) >= prefix_len chars after p,
+      so the suffix at p is generated and its full prefix_len-char skey
+      equals ``substring(contained, 1, prefix_len)``.
+    - complete, short tier (``min_suffix <= len(contained) < prefix_len``):
+      contained's whole text is SHORTER than the suffix key, so the equi-key
+      is the first ``min_suffix`` chars instead, and the candidate is
+      confirmed by ``startswith(skey, text)`` — which for texts shorter
+      than the key is already full evidence of containment. (Found-by-test
+      r4: the single-key form silently missed every contained doc shorter
+      than prefix_len unless the occurrence sat in the container's last
+      prefix_len chars.)
+    - sound: long-tier candidates are shared-prefix hypotheses; the final
+      JVM ``contains(t_out, t_in)`` verify removes pairs that diverge past
+      ``prefix_len``. Multi-occurrence and mutual containment (equal
+      texts -> both directions) collapse identically on both sides via the
+      distinct candidate set / the oracle's pair-level semantics.
+
+    Skew note for the short tier: its join key is only ``min_suffix`` chars,
+    so a hot short prefix (think "https://") fans out; the tier only ever
+    carries docs SHORTER than prefix_len (rare in caption corpora) and the
+    startswith filter runs inside the same stage, before the dedup shuffle.
+
+    tests/test_textops_ext.py::test_suffix_candidates_equals_contains_oracle
+    pins each branch (multi-occurrence, >prefix_len divergence, short docs,
+    short-contained mid-container occurrence, equal texts) against a
+    brute-force containment oracle.
     """
     expr = (
         f"transform(sequence(1, length({text_col}) - {min_suffix} + 1),"
@@ -594,16 +626,33 @@ def suffix_candidates(docs: DataFrame, prefix_len: int, min_suffix: int = 8,
         F.col(id_col).alias("container"),
         F.explode(F.expr(expr)).alias("skey"),
     ).dropDuplicates(["container", "skey"])
-    whole = docs.where(F.length(text_col) >= min_suffix).select(
+    eligible = docs.where(F.length(text_col) >= min_suffix)
+    whole = eligible.where(F.length(text_col) >= prefix_len).select(
         F.col(id_col).alias("contained"),
         F.substring(F.col(text_col), 1, prefix_len).alias("skey"),
     )
-    cands = (
+    cands_long = (
         suffixes.repartition("skey")
         .join(whole, "skey")
         .where(F.col("contained") != F.col("container"))
         .select("contained", "container")
-        .dropDuplicates(["contained", "container"])
+    )
+    short = eligible.where(F.length(text_col) < prefix_len).select(
+        F.col(id_col).alias("contained"),
+        F.col(text_col).alias("t_short"),
+        F.substring(F.col(text_col), 1, min_suffix).alias("k8"),
+    )
+    cands_short = (
+        suffixes.withColumn("k8", F.substring("skey", 1, min_suffix))
+        .join(short, "k8")
+        .where(
+            (F.col("contained") != F.col("container"))
+            & F.expr("startswith(skey, t_short)")
+        )
+        .select("contained", "container")
+    )
+    cands = cands_long.unionAll(cands_short).dropDuplicates(
+        ["contained", "container"]
     )
     # verify: candidate set is tiny vs the corpus, so two id-joins fetch the
     # texts and a JVM `contains` confirms true containment.

@@ -13,6 +13,11 @@ from dynaalign_spark.session import get_spark
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+# Data-dependent oracles (IVF centroids, the Louvain golden) must track the
+# SAME corpus this checker registers, or drop to rows-only (ADVICE r03 #1).
+import os  # noqa: E402
+
+os.environ["DYNA_ORACLE_SF_DIR"] = SF_DIR
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 

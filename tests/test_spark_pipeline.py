@@ -315,3 +315,31 @@ def test_louvain_mod_selects_max_modularity_resolution():
         a = louvain(nodes, edges, resolution=r)
         q = modularity(nodes, edges, a, resolution=r)
         assert best["modularity"] >= q - 1e-12
+
+
+def test_louvain_golden_partition_drift_gate(spark):
+    """The committed sf0.01 Louvain golden (tests/golden/
+    louvain_clusters_sf001.json — the dedup_clusters_louvain value oracle,
+    VERDICT r03 #2) must match a fresh run of the seeded pipeline. A failure
+    here means the clustering algorithm changed: regenerate with
+    scripts/make_louvain_golden.py ONLY if the change is intentional."""
+    import json
+    import os
+
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.01"
+    golden_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "golden", "louvain_clusters_sf001.json",
+    )
+    if not os.path.isdir(sf_dir):
+        import pytest
+
+        pytest.skip("driver testdata absent")
+    golden = {tuple(r) for r in json.load(open(golden_path))}
+    fresh = {
+        (r["image_id"], r["cluster_id"])
+        for r in entrymod.q_dedup_clusters_louvain(spark, sf_dir).collect()
+    }
+    assert fresh == golden

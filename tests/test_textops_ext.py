@@ -283,3 +283,42 @@ def test_driver_fixture_documents_are_ascii():
             "incremental_matches, cc-cluster oracles) assume ASCII; see "
             "_duck_murmur_sig docstring"
         )
+
+
+def test_suffix_candidates_equals_contains_oracle(spark):
+    """Fixture assertion for the suffix-pass <-> contains-join equivalence
+    (VERDICT r03 #9): every adversarial branch — multi-occurrence,
+    shared-24-prefix-then-diverge (false candidate killed by verify),
+    below-min_suffix docs (excluded both sides), equal texts (mutual
+    containment, both directions) — against a brute-force oracle."""
+    base = "the quick brown fox jumps over the lazy dog jumps over it"
+    rows = [
+        ("whole", base),
+        ("inner", "brown fox jumps"),                  # strict substring
+        ("multi", "jumps over"),                        # occurs twice in whole
+        ("twin_a", "identical twin caption here ok"),  # equal texts: both
+        ("twin_b", "identical twin caption here ok"),  # directions expected
+        # shares the first 24 chars of `whole` then diverges -> candidate
+        # via skey, must be removed by the contains verify
+        ("prefix24", base[:24] + "ZZZ completely different tail"),
+        ("short", "tiny"),                              # len < min_suffix=8
+        ("unrelated", "nothing in common with anything else at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r["contained"], r["container"])
+        for r in textops.suffix_candidates(
+            docs, prefix_len=24, min_suffix=8
+        ).collect()
+    }
+    want = {
+        (a, b)
+        for a, ta in rows
+        for b, tb in rows
+        if a != b and len(ta) >= 8 and ta in tb
+    }
+    assert ("prefix24", "whole") not in got  # verify kills the false cand
+    assert ("short", "whole") not in got     # min_suffix filter both sides
+    assert {("twin_a", "twin_b"), ("twin_b", "twin_a"),
+            ("inner", "whole"), ("multi", "whole")} <= want
+    assert got == want
