@@ -1582,17 +1582,20 @@ def oracle_sql() -> dict[str, str]:
             " >= 0.35"
         ),
         "ann_cosine_topk": (
+            # ::double[] BEFORE the similarity: float32 products differ from
+            # the engine's double-first _dot at the 5th decimal (r4)
             "select qid, vec_id, round(cosine, 5) as cosine_r, rnk from ("
             " select q.vec_id as qid, n.vec_id as vec_id,"
-            "  list_cosine_similarity(q.embedding, n.embedding) as cosine,"
+            "  list_cosine_similarity(q.embedding::double[], n.embedding::double[]) as cosine,"
             "  row_number() over (partition by q.vec_id order by"
-            "   list_cosine_similarity(q.embedding, n.embedding) desc, n.vec_id) as rnk"
+            "   list_cosine_similarity(q.embedding::double[], n.embedding::double[]) desc,"
+            "   n.vec_id) as rnk"
             " from embeddings q join embeddings n on q.vec_id < 10 and q.vec_id != n.vec_id"
             ") where rnk <= 5"
         ),
         "embedding_stats": (
             "select label, count(*) as n, round(avg(sqrt(list_aggregate("
-            "list_transform(embedding, x -> x * x), 'sum'))), 6) as mean_norm "
+            "list_transform(embedding::double[], x -> x * x), 'sum'))), 6) as mean_norm "
             "from embeddings group by label"
         ),
         "agg_pricing": (

@@ -511,6 +511,63 @@ def run_scaling() -> dict:
     }
 
 
+def run_skew() -> dict:
+    """Adversarial-skew wall-clock evidence (VERDICT r03 #8): the same dedup
+    job as the scaling benchmark, on a corpus where DYNA_SKEW_FRAC (default
+    0.9) of rows share ONE caption — every band of that mass lands in one
+    corpus-sized band group, the case the group cap + chain pairing exists
+    for. Prints wall/throughput + the uniform-corpus comparison is made in
+    BENCH.md within the same substrate window."""
+    import shutil
+
+    from dynaalign_spark.config import SCALE
+    from dynaalign_spark.operators.clusterbreak import clusterbreak_spark
+    from dynaalign_spark.session import get_spark
+
+    n_rows = int(os.environ.get("DYNA_SCALE_ROWS", "1600000"))
+    frac = float(os.environ.get("DYNA_SKEW_FRAC", "0.9"))
+    path = os.path.join(CACHE_DIR,
+                        f"images_skew{int(frac * 100)}_{n_rows}_s{IMAGES_SEED}.parquet")
+    sub_before = _substrate_probe()
+    spark = get_spark(app="dedup-skew", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS), extra=_env_extra())
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(path):
+        from dynaalign_spark.fixtures import generate_images_skewed
+
+        generate_images_skewed(spark, n_rows, seed=IMAGES_SEED,
+                               dup_frac=frac).write.parquet(path)
+    images = spark.read.parquet(path)
+    n = images.count()
+    cfg = SCALE.with_(size_max=50, size_min=1,
+                      cache_storage=_default_storage())
+    reps = []
+    n_clusters = None
+    for _ in range(2):
+        t0 = time.time()
+        res = clusterbreak_spark(images, cfg)
+        n_assigned = res["clusters"].count()
+        reps.append(round(time.time() - t0, 1))
+        n_clusters = res["clusters"].select("cluster_id").distinct().count()
+        for key in ("signatures", "pairs", "components"):
+            res[key].unpersist()
+    spark.stop()
+    wall = min(reps)
+    return {
+        "metric": "skew_dedup_wall",
+        "value": wall,
+        "unit": "sec",
+        "n_rows": n,
+        "dup_frac": frac,
+        "images_per_sec": round(n / wall, 1),
+        "n_assigned": n_assigned,
+        "n_clusters": n_clusters,
+        "reps": reps,
+        "cpus": int(CPUS),
+        "substrate": {"before": sub_before, "after": _substrate_probe()},
+    }
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker-gen":
         _worker_gen()
@@ -521,5 +578,7 @@ if __name__ == "__main__":
                       n_reps=int(sys.argv[3]) if len(sys.argv) > 3 else 2)
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(run_scaling()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        print(json.dumps(run_skew()))
     else:
         print(json.dumps(run_bench()))

@@ -29,8 +29,14 @@ from .hamming import banded_pairs
 
 
 def _dot(a: str, b: str):
+    # cast BEFORE the product: on array<float> inputs `x * y` would round
+    # each product to float32 (~1e-7 relative per element, ~2e-6 on the
+    # cosine at dim=64 — enough to flip a 5th-decimal rounding boundary vs
+    # the double-precision DuckDB twin, found at sf0.1 r4); float->double
+    # conversion is exact, so double products make the fold bit-comparable
     return F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.zip_with(F.col(a), F.col(b),
+                   lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0).cast("double"),
         lambda acc, x: acc + x,
     )
@@ -39,7 +45,7 @@ def _dot(a: str, b: str):
 def _norm(c: str):
     return F.sqrt(
         F.aggregate(
-            F.transform(F.col(c), lambda x: x * x),
+            F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0).cast("double"),
             lambda acc, x: acc + x,
         )

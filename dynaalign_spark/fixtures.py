@@ -286,3 +286,64 @@ IMAGES_SCHEMA = (
 
 def images_df(spark, rows):
     return spark.createDataFrame(rows, schema=IMAGES_SCHEMA)
+
+
+def generate_images_skewed(
+    spark, n_rows: int, seed: int = 42, block_size: int = 20_000,
+    dup_frac: float = 0.9, img_hw: tuple[int, int] = (16, 16),
+    pixel_pool: int = 32,
+):
+    """Adversarial-skew variant of ``generate_images_distributed`` (VERDICT
+    r03 #8): ``dup_frac`` of all rows carry ONE identical caption — every
+    MinHash band of that mass collapses into a single corpus-sized band
+    group, the worst case the banded-LSH group cap + chain pairing exists
+    for. The remainder is the normal planted-cluster mix, so the run still
+    exercises the full pipeline. Deterministic per block, like the parent."""
+    import pandas as pd
+
+    n_blocks = (n_rows + block_size - 1) // block_size
+    prng = np.random.Generator(np.random.PCG64(seed))
+    h, w = img_hw
+    pool = []
+    for _ in range(pixel_pool):
+        pix = _base_image(prng, h, w)
+        pool.append((bytes(encode_ppm(pix)), phash64(pix)))
+    hot_caption = " ".join(_vocab(prng, 64)[:12])  # the one shared caption
+    blocks = spark.range(n_blocks).toDF("block_id")
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            for block_id in pdf["block_id"].tolist():
+                rng = np.random.Generator(
+                    np.random.PCG64(seed * 1_000_003 + block_id))
+                vocab = _vocab(rng, 4000)
+                start = block_id * block_size
+                count = min(block_size, n_rows - start)
+                ids, bts, caps, phs = [], [], [], []
+
+                def emit(caption):
+                    rid = start + len(ids)
+                    data, ph = pool[rid % pixel_pool]
+                    ids.append(f"img{rid:09d}")
+                    bts.append(data)
+                    caps.append(caption)
+                    phs.append(ph)
+
+                n_hot = int(count * dup_frac)
+                for _ in range(n_hot):
+                    emit(hot_caption)
+                while len(ids) < count:
+                    if rng.random() < 0.5 and len(ids) + 2 <= count:
+                        base = [vocab[int(i)] for i in
+                                rng.integers(0, len(vocab), int(rng.integers(8, 14)))]
+                        emit(" ".join(base))
+                        emit(" ".join(_perturb_caption(rng, base, vocab)))
+                    else:
+                        emit(" ".join(vocab[int(i)] for i in
+                                      rng.integers(0, len(vocab), int(rng.integers(8, 14)))))
+                yield pd.DataFrame(
+                    dict(image_id=ids, bytes=bts, w=w, h=h, fmt="ppm",
+                         caption=caps, phash=phs)
+                )
+
+    return blocks.repartition(min(n_blocks, 256)).mapInPandas(gen, IMAGES_SCHEMA)
