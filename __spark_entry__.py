@@ -7,10 +7,13 @@ implemented operator from SURVEY.md §2 (+ the training-pipeline extensions);
 one — including murmur3 MinHash signatures (pure-SQL murmur twin), the
 winnowing/SimHash rolling hashes, the full integer-lattice pixel SimHash
 dedup chain (byte-level decode -> block sums -> inlined integer hyperplanes
--> Hamming -> integer PSNR -> reachability), and connected components
-(recursive-CTE reachability). The only rows-only queries left are the
-genuinely non-SQL ones — Louvain refinement and IVF k-means — each checked
-bit-exactly against seeded in-memory oracles in tests/ (SURVEY.md §5.2).
+-> Hamming -> integer PSNR -> reachability), connected components
+(recursive-CTE reachability), IVF top-k (inlined k-means centroid
+constants), and the Louvain production partition (committed golden of the
+seeded deterministic run, tests/golden/louvain_clusters_sf001.json) — every
+driver query is value-checked at sf0.01. Data-dependent oracles (IVF
+centroids, the Louvain golden) follow DYNA_ORACLE_SF_DIR and degrade to the
+rows-only check on any other corpus.
 """
 
 from __future__ import annotations
