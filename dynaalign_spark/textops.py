@@ -573,7 +573,8 @@ def shared_substring_pairs(docs: DataFrame, min_len: int = 32,
 
 
 def suffix_candidates(docs: DataFrame, prefix_len: int, min_suffix: int = 8,
-                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                      id_col: str = "doc_id", text_col: str = "text",
+                      short_broadcast_max: int = 2_000_000) -> DataFrame:
     """Distributed suffix-array pass for exact substring duplicates.
 
     Explode every suffix (capped to its first ``prefix_len`` chars as the sort
@@ -607,6 +608,18 @@ def suffix_candidates(docs: DataFrame, prefix_len: int, min_suffix: int = 8,
       ``prefix_len``. Multi-occurrence and mutual containment (equal
       texts -> both directions) collapse identically on both sides via the
       distinct candidate set / the oracle's pair-level semantics.
+
+    Short-tier cost model (found-by-bench r4): the tier's first form joined
+    the FULL deduped suffixes relation (corpus-total-chars rows, built with
+    its own dedup shuffle) against the short side — so a corpus with ZERO
+    short docs still paid a second suffix materialization plus a
+    corpus-sized shuffle on the 16-char key (dedup_multitier 12.6 s -> 44.9 s
+    at sf0.1 for 5 short captions). The tier is now sized by the short side:
+    a cheap count gates it (0 short docs -> the r3 plan, no extra work at
+    all); a small short side (< ``short_broadcast_max``) is BROADCAST
+    against the raw, non-deduped suffix windows — a narrow, shuffle-free
+    branch whose duplicate candidates collapse in the existing pair dedup;
+    only a genuinely short-heavy corpus falls back to the shuffle form.
 
     Skew note for the short tier: its join key is only ``min_suffix`` chars,
     so a hot short prefix (think "https://") fans out; the tier only ever
@@ -642,18 +655,34 @@ def suffix_candidates(docs: DataFrame, prefix_len: int, min_suffix: int = 8,
         F.col(text_col).alias("t_short"),
         F.substring(F.col(text_col), 1, min_suffix).alias("k8"),
     )
-    cands_short = (
-        suffixes.withColumn("k8", F.substring("skey", 1, min_suffix))
-        .join(short, "k8")
-        .where(
-            (F.col("contained") != F.col("container"))
-            & F.expr("startswith(skey, t_short)")
+    # one cheap columnar scan decides the tier's physical shape; the result
+    # is a scalar, not a collect of rows
+    n_short = short.count()
+    if n_short == 0:
+        cands = cands_long.dropDuplicates(["contained", "container"])
+    else:
+        if n_short <= short_broadcast_max:
+            # raw windows, no dedup shuffle: the broadcast hash join is
+            # narrow, and duplicate (container, skey) windows only produce
+            # duplicate candidates that the pair dedup below collapses
+            sfx_short = docs.where(F.length(text_col) >= min_suffix).select(
+                F.col(id_col).alias("container"),
+                F.explode(F.expr(expr)).alias("skey"),
+            ).join(F.broadcast(short), F.substring("skey", 1, min_suffix) == short["k8"])
+        else:
+            sfx_short = suffixes.withColumn(
+                "k8", F.substring("skey", 1, min_suffix)).join(short, "k8")
+        cands_short = (
+            sfx_short
+            .where(
+                (F.col("contained") != F.col("container"))
+                & F.expr("startswith(skey, t_short)")
+            )
+            .select("contained", "container")
         )
-        .select("contained", "container")
-    )
-    cands = cands_long.unionAll(cands_short).dropDuplicates(
-        ["contained", "container"]
-    )
+        cands = cands_long.unionAll(cands_short).dropDuplicates(
+            ["contained", "container"]
+        )
     # verify: candidate set is tiny vs the corpus, so two id-joins fetch the
     # texts and a JVM `contains` confirms true containment.
     t_in = docs.select(F.col(id_col).alias("contained"), F.col(text_col).alias("t_in"))
