@@ -83,17 +83,24 @@ def ngram_jaccard_pairs(
     Plan: distinct (doc, shingle) membership -> self-equi-join on shingle
     (the ONLY shuffle; hot shingles optionally dropped via max_doc_freq,
     which bounds per-key fan-out at scale) -> count per pair -> join per-doc
-    distinct counts (broadcastable) -> jaccard = inter / (na + nb - inter).
+    distinct counts -> jaccard = inter / (na + nb - inter).
+
+    Cap plan shape (r4): the filter is a broadcast LEFT ANTI join against
+    the DROP list (shingles with df > max_doc_freq) — small by construction
+    (stop-shingles), vs the keep list which is the whole remaining vocab and
+    grows without bound with the corpus. The df agg itself is two-phase
+    (map-side partial), so one corpus-wide stop-shingle never concentrates
+    rows in a single task the way a window-count would.
     """
     memb = shingle_explode(docs, k, **kw).dropDuplicates(["doc_id", "shingle"])
     if max_doc_freq is not None:
-        df_ok = (
+        hot = (
             memb.groupBy("shingle")
             .agg(F.countDistinct("doc_id").alias("df"))
-            .where(F.col("df") <= max_doc_freq)
+            .where(F.col("df") > max_doc_freq)
             .select("shingle")
         )
-        memb = memb.join(F.broadcast(df_ok), "shingle")
+        memb = memb.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = memb.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = memb.select(F.col("doc_id").alias("a"), "shingle")
     b = memb.select(F.col("doc_id").alias("b"), "shingle")
@@ -103,9 +110,12 @@ def ngram_jaccard_pairs(
         .groupBy("a", "b")
         .agg(F.count("*").alias("inter_cnt"))
     )
+    # no broadcast hint on sizes: it is a PER-DOC table, so forcing a
+    # broadcast is wrong at 10^12 docs — AQE broadcasts it when it is small
+    # and falls back to a shuffled join when it is not
     out = (
-        inter.join(F.broadcast(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("na"))), "a")
-        .join(F.broadcast(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("nb"))), "b")
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("nb")), "b")
         .select(
             "a", "b", "inter_cnt",
             (F.col("na") + F.col("nb") - F.col("inter_cnt")).alias("union_cnt"),
