@@ -73,6 +73,12 @@ def parse_args(argv=None):
     p.add_argument("--substring-min-len", type=int, default=32,
                    help="minimum shared-region length for --substring-mode "
                         "lcs/both")
+    p.add_argument("--plots", action="store_true",
+                   help="write <output>/plots/{consensus.png,similarity.png} "
+                        "(reference consensusplot / plot_similarity_matrix, "
+                        "headless twins) — driver-side viz over the per-"
+                        "cluster consensus rows; skipped with a warning when "
+                        "the cluster count exceeds viz.MAX_VIZ_ROWS")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--master", default=None)
     return p.parse_args(argv)
@@ -174,6 +180,28 @@ def main(argv=None):
         "representatives",
         lambda: cluster_representatives(clusters, images, signatures=sig),
     )
+
+    if args.plots:
+        # the reference workflow's final step (clusterconsensus ->
+        # consensusplot / plot_similarity_matrix); viz is driver-side on the
+        # one-row-per-cluster consensus frame, never on the full corpus
+        from dynaalign_spark import viz
+
+        rep_rows = reps.select("cluster_id", "consensus_caption").collect() \
+            if reps.count() <= viz.MAX_VIZ_ROWS else None
+        if rep_rows is None:
+            print(f"--plots skipped: >{viz.MAX_VIZ_ROWS} clusters "
+                  "(viz is a test-scale artifact)", file=sys.stderr)
+        elif len(rep_rows) >= 2:
+            plots_dir = os.path.join(args.output, "plots")
+            os.makedirs(plots_dir, exist_ok=True)
+            names = [r["cluster_id"] for r in rep_rows]
+            seqs = [r["consensus_caption"] for r in rep_rows]
+            viz.consensusplot(
+                names, seqs, path=os.path.join(plots_dir, "consensus.png"))
+            dist, kept = viz.minhash_r_local(seqs, k=2, n_hash=50)
+            viz.plot_similarity_matrix(
+                1.0 - dist, path=os.path.join(plots_dir, "similarity.png"))
 
     violations = runner.run(
         "invariant_violations",

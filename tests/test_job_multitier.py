@@ -160,3 +160,24 @@ def test_extra_edges_are_what_connects_pixel_dups(spark):
         ].collect()
     }
     assert merged["a0"] == merged["b0"]
+
+
+def test_plots_flag_writes_viz_artifacts(spark, multitier_input, tmp_path):
+    """--plots ships the reference workflow's final viz step (clusterbreak ->
+    clusterconsensus -> consensusplot / plot_similarity_matrix) from the job
+    CLI: both PNGs exist, are valid, and are byte-identical across a resume
+    re-run (viz is deterministic on identical consensus rows)."""
+    import jobs.dedup as job
+
+    out = str(tmp_path / "out")
+    argv = ["--input", multitier_input, "--output", out, "--config", "parity",
+            "--set", "size_min=1", "--plots"]
+    assert job.main(argv) == 0
+    cons = os.path.join(out, "plots", "consensus.png")
+    simp = os.path.join(out, "plots", "similarity.png")
+    for p in (cons, simp):
+        with open(p, "rb") as f:
+            assert f.read(8) == b"\x89PNG\r\n\x1a\n", p
+    first = (open(cons, "rb").read(), open(simp, "rb").read())
+    assert job.main(argv) == 0  # resume: all stages skipped, same bytes
+    assert (open(cons, "rb").read(), open(simp, "rb").read()) == first
