@@ -580,5 +580,13 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--skew":
         print(json.dumps(run_skew()))
+    elif len(sys.argv) > 1:
+        # fail fast on typos: a misspelled mode must not silently launch the
+        # (expensive) default per-round bench with the wrong semantics
+        raise SystemExit(
+            f"unknown mode {sys.argv[1]!r}; modes: --scaling | --skew | "
+            f"--worker N [reps] | --worker-profile N | --worker-gen | "
+            f"(none = per-round bench at $SPARK_GRAFT_SF_DIR)"
+        )
     else:
         print(json.dumps(run_bench()))
