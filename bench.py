@@ -184,13 +184,23 @@ def run_bench() -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     qs, img_path = bench_queries(spark)
     n_images = spark.read.parquet(img_path).count()
-    times, total = {}, 0.0
+    # min-of-N per query (DYNA_BENCH_REPS, default 2) — the same steady-state
+    # protocol the scaling workers use. A single-shot first run folds Python
+    # worker-pool spin-up, parquet/page-cache first-touch, and codegen JIT
+    # into whichever query runs FIRST (dedup_images paid all of it in
+    # r1-r3); min-of-2 measures each query's steady state and `reps` keeps
+    # every raw timing in the artifact so the cold-start cost stays visible.
+    n_reps = max(1, int(os.environ.get("DYNA_BENCH_REPS", "2")))
+    times, reps, total = {}, {}, 0.0
     for name, fn in qs.items():
-        t0 = time.time()
-        fn().count()
-        dt = time.time() - t0
-        times[name] = round(dt, 3)
-        total += dt
+        rs = []
+        for _ in range(n_reps):
+            t0 = time.time()
+            fn().count()
+            rs.append(time.time() - t0)
+        times[name] = round(min(rs), 3)
+        reps[name] = [round(r, 3) for r in rs]
+        total += min(rs)
     spark.stop()
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
     return {
@@ -198,6 +208,8 @@ def run_bench() -> dict:
         "value": round(total, 3),
         "unit": "sec",
         "queries": times,
+        "query_reps": reps,
+        "protocol": f"min-of-{n_reps} per query (DYNA_BENCH_REPS)",
         "sf": sf,
         "images_per_sec": round(n_images / times["dedup_images"], 1),
         "n_images": n_images,
