@@ -267,9 +267,15 @@ def _worker_dedup(cpus: int, n_reps: int = 2) -> None:
             out = out.unionByName(p)
         return out
 
+    # DYNA_TIER_OVERLAP=0: A/B knob for the round-4 tier-overlap scheduling
+    # (background-thread materialization of the tier edges in a FAIR pool
+    # while the caption stages run; identical output, wall-clock only)
+    overlap = os.environ.get("DYNA_TIER_OVERLAP", "1") != "0"
+
     def run_once(imgs):
         return clusterbreak_spark(
-            imgs, cfg, extra_edges=extra_edges(imgs) if tiers else None)
+            imgs, cfg, extra_edges=extra_edges(imgs) if tiers else None,
+            tier_overlap=overlap)
 
     # warm the JVM (JIT), the Python UDF worker pool, and the parquet cache
     # with a miniature end-to-end run, so the timed run measures steady-state

@@ -378,6 +378,7 @@ def clusterbreak_spark(
     max_distributed_rounds: int = 12,
     profile: dict | None = None,
     extra_edges: DataFrame | None = None,
+    tier_overlap: bool = True,
 ) -> dict:
     """Full pipeline -> dict with clusters / filtered / metrics DataFrames.
 
@@ -395,6 +396,14 @@ def clusterbreak_spark(
     sim), and nodes whose captions yield no signature stay filtered —
     tier edges contribute connectivity, not signature mass.
 
+    ``tier_overlap``: the tier DAG depends only on ``images``, so its
+    (expensive: pixel decode + SimHash + PSNR verify, suffix sort) edge set
+    is materialized on a background thread in scheduler pool "tier" while
+    the caption stages (signatures -> pairs -> quantile) run, instead of
+    being sequenced after them. Identical output (pinned by
+    tests/test_tier_overlap.py); wall-clock only. Forced off when
+    ``profile`` is set so per-stage wall times keep their attribution.
+
     ``profile``: pass a dict to force + wall-time each stage boundary into it
     (signatures / pairs / components / aggs) — the per-stage metrics feed the
     north-rule lineage JSON and the scaling-efficiency decomposition in
@@ -405,6 +414,44 @@ def clusterbreak_spark(
     from pyspark import StorageLevel
 
     cache_lvl = getattr(StorageLevel, cfg.cache_storage)
+
+    tier_bg = None
+    if extra_edges is not None and tier_overlap and profile is None:
+        # Tier overlap (round 4): sequencing the tier-edge eager checkpoint
+        # after signatures/pairs/quantile put ~minutes of images-only work on
+        # the critical path at bench scale. Kick its canonicalized pair set
+        # off on a background thread in its own FAIR pool so its tasks share
+        # slots with (and fill the idle gaps of) the caption stages — the
+        # driver-sequenced quantile jobs, stage tails, and Python-bound
+        # phases where JVM cores sit idle at high core counts. The `valid`
+        # semi-joins stay in the caller's thread below (they need the
+        # signature cache).
+        import threading
+
+        _canon_bg = (
+            extra_edges.select(
+                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .dropDuplicates(["a", "b"])
+        )
+        tier_bg = {}
+
+        def _materialize_tier(canon=_canon_bg, out=tier_bg):
+            sc = canon.sparkSession.sparkContext
+            # PySpark pinned-thread mode (default since 3.2) maps this Python
+            # thread to its own JVM thread, so the pool property scopes to
+            # the tier jobs only; under a FIFO-mode context it is a no-op and
+            # the jobs still tail-fill idle slots.
+            sc.setLocalProperty("spark.scheduler.pool", "tier")
+            try:
+                out["df"] = canon.localCheckpoint()
+            except BaseException as e:  # re-raised in the joining thread
+                out["err"] = e
+
+        tier_bg["thread"] = threading.Thread(
+            target=_materialize_tier, name="tier-edges", daemon=True)
+        tier_bg["thread"].start()
+
     t0 = _time.time()
     sig = signatures if signatures is not None else add_signatures(images, cfg)
     sig = sig.persist(cache_lvl)
@@ -450,26 +497,36 @@ def clusterbreak_spark(
     xtra = None
     if extra_edges is not None:
         t0 = _time.time()
-        xtra = (
-            extra_edges.select(
-                F.least("a", "b").alias("a"),
-                F.greatest("a", "b").alias("b"),
-                F.lit(1.0).alias("sim"),
+        if tier_bg is not None:
+            tier_bg["thread"].join()
+            if "err" in tier_bg:
+                raise tier_bg["err"]
+            canon = tier_bg["df"]
+        else:
+            canon = (
+                extra_edges.select(
+                    F.least("a", "b").alias("a"),
+                    F.greatest("a", "b").alias("b"),
+                )
+                .where(F.col("a") != F.col("b"))
+                .dropDuplicates(["a", "b"])
             )
-            .where(F.col("a") != F.col("b"))
+        xtra = (
+            canon.select("a", "b", F.lit(1.0).alias("sim"))
             # tier edges only connect signature-bearing nodes: the refine
             # stage joins on `valid` signatures, so an empty-caption endpoint
             # would otherwise silently vanish from `clusters` while no longer
             # being reported in `filtered`
             .join(valid.select(F.col("image_id").alias("a")), "a", "left_semi")
             .join(valid.select(F.col("image_id").alias("b")), "b", "left_semi")
-            .dropDuplicates(["a", "b"])
             # sever lineage: xtra and the caption edges both descend from
             # `sig`; unioning the two live plans and feeding the result into
             # CC's self-union star rounds trips a Spark 4 optimizer
             # attribute-resolution failure (NoSuchElementException: key not
             # found: src#...) inside the lazy localCheckpoint. The tier edge
-            # set is small (verified candidates), so an eager cut is cheap.
+            # set is small (verified candidates), so an eager cut is cheap —
+            # and on the overlap path it also re-severs the `valid` lineage
+            # the semi-joins just reintroduced.
             .localCheckpoint()
         )
         if profile is not None:

@@ -56,6 +56,13 @@ def get_spark(
         # all row-level compute goes through Arrow-batched pandas UDFs
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # FAIR job scheduling: clusterbreak's tier-overlap path materializes
+        # the pixel/substring edge set from a background thread (scheduler
+        # pool "tier") while the caption stages run; FAIR shares task slots
+        # between the two job trees instead of queueing the tier behind a
+        # saturated caption stage. Single-threaded callers are unaffected
+        # (one job at a time behaves identically under FIFO and FAIR).
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
