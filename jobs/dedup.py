@@ -116,15 +116,32 @@ def main(argv=None):
 
     images = read_images(spark, args.input)
 
-    sig = runner.run("signatures", lambda: add_signatures(images, cfg))
-    prs = runner.run("pairs", lambda: candidate_pairs(sig, cfg))
-
     # multi-signal tiers (north rule: caption MinHash ∪ pixel SimHash ∪
-    # substring containment) — each tier's edges are checkpointed, then
-    # merged as weight-1 edges before connected components
-    extra = None
+    # substring containment) — each tier's edges are parquet-checkpointed
+    # with its own manifest (the resume point), then merged as weight-1
+    # edges before connected components. The tier DAGs depend only on
+    # `images`, so their stages run on background threads in scheduler pool
+    # "tier" (FAIR mode, session.py) CONCURRENTLY with signatures/pairs —
+    # same overlap as clusterbreak_spark's tier_overlap, expressed at the
+    # StageRunner level so every stage keeps its checkpoint + manifest.
+    import threading
+
+    tier_threads: list[threading.Thread] = []
+    tier_results: dict = {}
+
+    def _tier_stage(name, fn):
+        def _run():
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", "tier")
+            try:
+                tier_results[name] = runner.run(name, fn)
+            except BaseException as e:
+                tier_results[name + "_err"] = e
+        th = threading.Thread(target=_run, name=name, daemon=True)
+        tier_threads.append(th)
+        th.start()
+
     if args.pixel_tier:
-        extra = runner.run(
+        _tier_stage(
             "pixel_edges",
             lambda: pixel_edges(images, cfg, verify_psnr=True).select("a", "b"),
         )
@@ -155,8 +172,21 @@ def main(argv=None):
                 out = out.unionByName(p)
             return out.dropDuplicates(["a", "b"])
 
-        sub = runner.run("substring_edges", _substring_edges)
-        extra = sub if extra is None else extra.unionByName(sub)
+        _tier_stage("substring_edges", _substring_edges)
+
+    sig = runner.run("signatures", lambda: add_signatures(images, cfg))
+    prs = runner.run("pairs", lambda: candidate_pairs(sig, cfg))
+
+    for th in tier_threads:
+        th.join()
+    for name in ("pixel_edges", "substring_edges"):
+        if name + "_err" in tier_results:
+            raise tier_results[name + "_err"]
+    extra = None
+    for name in ("pixel_edges", "substring_edges"):
+        if name in tier_results:
+            extra = (tier_results[name] if extra is None
+                     else extra.unionByName(tier_results[name]))
 
     def _cluster():
         res = clusterbreak_spark(
