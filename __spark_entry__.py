@@ -795,6 +795,61 @@ def _duck_murmur_sig(k: int) -> str:
     )
 
 
+def _duck_capped_cand(cap: int | None = None, cw: int | None = None,
+                      nh: float | None = None) -> str:
+    """CTE chain ``bg/br/emit/agp`` ending in ``cand (a, b, cnt, sim)`` — the
+    band-EMISSION twin of lsh.candidate_pairs under PARITY (r=1,
+    count_agreement), including the hot-band skew machinery the old oracle
+    assumed away: a (h, comp) band group of size <= band_group_cap emits all
+    i<j pairs; a larger group emits sorted-chain pairs only (each member to
+    its next chain_width successors by image_id — lsh.py ``chain_pairs``),
+    expressed here as a rank-difference predicate on ``row_number() over
+    (partition by h, comp order by image_id)``. The sim of every emitted
+    pair is its FULL agreement count / n_hash in both engines: a pair with
+    neither endpoint in any capped group has all its agreeing bands
+    uncapped (engine counts them all), and a pair touched by a capped group
+    is routed to the exact signature verify join (lsh.py ``ver``) — so only
+    the emitted SET differs under skew, never the value. Replaces the
+    r02-era uncapped-band assumption: this form stays exact on fixtures
+    whose band groups exceed the cap (sf0.1's near-dup-dense 5k corpus,
+    CORRECTNESS_SF01.md ``lsh_candidates``), and is also why the
+    reachability downstream stays single-node-feasible there — the chain
+    thins hot-group edges exactly like the engine. Requires a ``sig
+    (image_id, h, comp)`` CTE in scope. ``cap``/``cw``/``nh`` default to
+    PARITY; tests override ``cap`` small to exercise the chain branch
+    against the engine on fixtures where the default cap never engages."""
+    if cap is None:
+        cap = PARITY.band_group_cap
+    if cw is None:
+        cw = PARITY.chain_width
+    if nh is None:
+        nh = float(PARITY.n_hash)
+    # AS MATERIALIZED is load-bearing, not a hint to ignore: inside a WITH
+    # RECURSIVE query DuckDB inlines plain CTEs into every consumer, so the
+    # reachability iteration re-evaluated this whole enumeration chain PER
+    # ROUND (measured 91.6s -> 1.1s at sf0.01 for _duck_cc_clusters; at
+    # sf0.1 the uncapped r3 form of that re-evaluation exhausted 75 GB of
+    # temp disk — CORRECTNESS_SF01.md's "oracle infeasible" rows).
+    return (
+        "bg as materialized (select h, comp, count(*) as n from sig "
+        "group by h, comp having count(*) > 1), "
+        "br as materialized (select s.image_id, s.h, s.comp, bg.n, "
+        "row_number() over (partition by s.h, s.comp order by s.image_id) as rn "
+        "from sig s join bg using (h, comp)), "
+        "emit as materialized (select distinct x.image_id as a, y.image_id as b "
+        "from br x join br y on x.h = y.h and x.comp = y.comp "
+        "and y.image_id > x.image_id "
+        f"and (x.n <= {cap} or y.rn - x.rn <= {cw})), "
+        "agp as materialized (select x.image_id as a, y.image_id as b, "
+        "count(*) as cnt "
+        "from sig x join sig y on x.h = y.h and x.comp = y.comp "
+        "and x.image_id < y.image_id group by 1, 2), "
+        f"cand as materialized (select agp.a, agp.b, agp.cnt, "
+        f"agp.cnt / {nh} as sim "
+        "from agp join emit on agp.a = emit.a and agp.b = emit.b)"
+    )
+
+
 def _duck_xtier_edges() -> str:
     """SQL union of the two exact tier edge sets of q_multitier_clusters:
     substring containment (min_suffix=16 — exact `contains`, same form as the
@@ -822,8 +877,10 @@ def _duck_xtier_edges() -> str:
 
 def _duck_cc_clusters(with_xtier: bool = False) -> str:
     """DuckDB twin of the cc-mode clusterbreak queries (CC_CFG): murmur
-    signatures -> candidate agreement counts (uncapped-band assumption, same
-    as the lsh_candidates oracle) -> exact full-distribution type-7 quantile
+    signatures -> capped band-emission candidates (_duck_capped_cand — the
+    same skew cap + chain pairing as lsh.candidate_pairs, so the pair set
+    and hence the quantile input match the engine at ANY fixture scale)
+    -> exact full-distribution type-7 quantile
     via the zero-counting trick (threshold.py:quantile_threshold replicated
     step for step in double arithmetic: h=(total-1)*p, lo=floor(h),
     frac=h-lo, order statistics of the nonzero sims at integer ranks,
@@ -832,21 +889,18 @@ def _duck_cc_clusters(with_xtier: bool = False) -> str:
     labels + solo singletons. Ends with CTE ``clus (image_id, cluster_id)``
     ready for a final select; ``cand`` keeps the integer agreement count
     ``cnt`` for the consensus medoid twin."""
-    p, nh = PARITY.thresh_p, float(PARITY.n_hash)
+    p = PARITY.thresh_p
     xt = f", {_duck_xtier_edges()}" if with_xtier else ""
     edges_src = "medges" if with_xtier else "cedges"
     merge = (
-        ", medges as (select a, b from cedges union select a, b from xedges)"
+        ", medges as materialized (select a, b from cedges union select a, b from xedges)"
         if with_xtier
         else ""
     )
     sig_cte = _duck_murmur_sig(K).replace("with ", "with recursive ", 1)
     return (
         f"{sig_cte}, "
-        "cand as (select x.image_id as a, y.image_id as b, "
-        f"count(*) as cnt, count(*) / {nh} as sim "
-        "from sig x join sig y on x.h = y.h and x.comp = y.comp "
-        "and x.image_id < y.image_id group by 1, 2), "
+        f"{_duck_capped_cand()}, "
         "valid as (select distinct image_id from sig), "
         "qs as (select (select count(*) from valid) as n, "
         "(select count(*) from cand) as m), "
@@ -863,9 +917,9 @@ def _duck_cc_clusters(with_xtier: bool = False) -> str:
         "(case when qr.lo < qr.zeros then 0.0 else "
         "(select sim from rk where rn = qr.lo - qr.zeros) end)), "
         f"{CC_FLOOR}) as t from qr), "
-        "cedges as (select a, b from cand, thr where sim >= thr.t)"
+        "cedges as materialized (select a, b from cand, thr where sim >= thr.t)"
         f"{xt}{merge}, "
-        f"e2 as (select a as x, b as y from {edges_src} "
+        f"e2 as materialized (select a as x, b as y from {edges_src} "
         f"union select b as x, a as y from {edges_src}), "
         "vx as (select distinct x as id from e2), "
         "reach(id, r) as (select id, id from vx "
@@ -1025,8 +1079,8 @@ def _duck_pixel_clusters(grid: int = 16) -> str:
         "join rgb pb on pb.image_id = ham.b and pb.px = pa.px "
         "and pb.w = pa.w and pb.h = pa.h "
         "group by 1, 2), "
-        "vedges as (select a, b from sse where e * 10000 <= 65025 * 3 * n_px), "
-        "e2 as (select a as x, b as y from vedges "
+        "vedges as materialized (select a, b from sse where e * 10000 <= 65025 * 3 * n_px), "
+        "e2 as materialized (select a as x, b as y from vedges "
         "union select b as x, a as y from vedges), "
         "vx as (select distinct x as id from e2), "
         "reach(id, r) as (select id, id from vx "
@@ -1542,23 +1596,19 @@ def oracle_sql() -> dict[str, str]:
         "minhash_components": lambda: (
             f"{_duck_murmur_sig(K)} select image_id, h::int as h, comp from sig"
         ),
-        # Uncapped-band assumption (ADVICE r02): this oracle enumerates every
-        # pair with >= 1 agreeing component, which equals candidate_pairs
-        # only while no band group exceeds band_group_cap (2000) — true for
-        # the 500/5000-row driver fixtures (max group <= corpus size). A
-        # larger fixture or a SCALE config here would surface as an oracle
-        # mismatch that is NOT an engine regression. Same note applies to
-        # incremental_matches (r=1) and the _duck_cc_clusters-based oracles.
+        # Capped band-emission twin (r4, closing the r02 uncapped-band
+        # assumption): _duck_capped_cand mirrors band_group_cap + sorted
+        # chain pairing, so this stays value-exact even when a fixture's
+        # band groups exceed the cap (sf0.1 did — CORRECTNESS_SF01.md).
+        # incremental_matches (r=1 streaming) keeps the uncapped form: its
+        # fixture is the bounded events stream, far below the cap.
         "lsh_candidates": lambda: (
-            f"{_duck_murmur_sig(K)}, "
-            "ag as (select x.image_id as a, y.image_id as b, count(*) as cnt "
-            "from sig x join sig y on x.h = y.h and x.comp = y.comp "
-            "and x.image_id < y.image_id group by 1, 2) "
-            f"select a, b, round(cnt / {float(PARITY.n_hash)}, 9) as sim_r from ag"
+            f"{_duck_murmur_sig(K)}, {_duck_capped_cand()} "
+            "select a, b, round(sim, 9) as sim_r from cand"
         ),
         "cc_components": (
-            f"with recursive e0 as (select a, b from ({_JPAIRS})), "
-            "e as (select a as x, b as y from e0 "
+            f"with recursive e0 as materialized (select a, b from ({_JPAIRS})), "
+            "e as materialized (select a as x, b as y from e0 "
             "union select b as x, a as y from e0), "
             "vx as (select distinct x as doc_id from e), "
             "reach(doc_id, r) as ("
