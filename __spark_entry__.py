@@ -369,12 +369,17 @@ def q_dedup_clusters_louvain(spark, sf_dir):
     """Production path: full clusterbreak with per-component Louvain refine
     + size triage. Labels are canonicalized to the min member id (the
     partition is what's checked, not the "itr.cid" label scheme); the value
-    oracle is a committed golden of the seeded deterministic partition at
-    sf0.01 (tests/golden/louvain_clusters_sf001.json — VERDICT r03 #2,
-    regenerated by scripts/make_louvain_golden.py and drift-gated by
+    oracle is a committed golden of the seeded deterministic partition
+    (tests/golden/louvain_clusters_sf001.json / _sf01.json — VERDICT r03
+    #2, regenerated by scripts/make_louvain_golden.py and drift-gated by
     tests/test_spark_pipeline.py). The same seeded in-memory oracle check
-    remains in pytest; at other SFs the golden doesn't apply and the driver
-    falls back to the rows-only check."""
+    remains in pytest; at SFs without a committed golden the driver falls
+    back to the rows-only check. Note the sf0.1 golden is an honest
+    degenerate: PARITY has no sim floor, and at the dup-dense 5k corpus
+    the p=0.8 quantile lands in the noise band (sim ~0.02), welding 4,992
+    rows into one component the size recursion cannot split — exactly the
+    web-scale hairball the SCALE config's min_edge_sim floor exists to
+    prevent (config.py). The golden pins that behavior against drift."""
     res = clusterbreak_spark(
         _docs_as_images(spark, sf_dir), PARITY.with_(size_max=50, size_min=1)
     )
@@ -836,10 +841,20 @@ def _duck_capped_cand(cap: int | None = None, cw: int | None = None,
         "br as materialized (select s.image_id, s.h, s.comp, bg.n, "
         "row_number() over (partition by s.h, s.comp order by s.image_id) as rn "
         "from sig s join bg using (h, comp)), "
-        "emit as materialized (select distinct x.image_id as a, y.image_id as b "
-        "from br x join br y on x.h = y.h and x.comp = y.comp "
-        "and y.image_id > x.image_id "
-        f"and (x.n <= {cap} or y.rn - x.rn <= {cw})), "
+        # two pure equi-join branches instead of one OR-residual join: the
+        # OR form enumerates EVERY i<j combination of an over-cap group
+        # before filtering (a multi-k-member hot group x 50 bands is
+        # hundreds of millions of probe rows at sf0.1); the chain branch
+        # joins on the shifted rank (h, comp, rn + j), so big groups only
+        # ever produce their chain rows
+        "ems as (select x.image_id as a, y.image_id as b "
+        f"from br x join br y on x.h = y.h and x.comp = y.comp "
+        f"and y.image_id > x.image_id where x.n <= {cap}), "
+        "emc as (select x.image_id as a, y.image_id as b "
+        f"from br x cross join (select unnest(generate_series(1, {cw})) as j) sh "
+        f"join br y on x.h = y.h and x.comp = y.comp and y.rn = x.rn + sh.j "
+        f"where x.n > {cap}), "
+        "emit as materialized (select a, b from ems union select a, b from emc), "
         "agp as materialized (select x.image_id as a, y.image_id as b, "
         "count(*) as cnt "
         "from sig x join sig y on x.h = y.h and x.comp = y.comp "
@@ -875,21 +890,77 @@ def _duck_xtier_edges() -> str:
     )
 
 
+def _duck_cc_rounds(edges_cte: str, rounds: int = 20) -> str:
+    """Unrolled alternating large-star/small-star contraction (Kiveris et
+    al. — the SAME algorithm as operators/components.py, CTE-for-DataFrame)
+    from ``edges_cte (a, b)`` to ``ccomp (image_id, component)`` with
+    min-member labels, in PLAIN SQL — no WITH RECURSIVE.
+
+    Why not the recursive-CTE reachability the r3 oracles used: reachability
+    materializes every (node, reachable-node) pair and iterates once per
+    hop, so a chain-paired hot clique (the capped-oracle upgrade made those
+    reach the oracle: a 3,866-member sorted chain at sf0.1) needs ~diameter
+    iterations over a quadratic working set — DuckDB ground >10 min where
+    the engine takes seconds. Star contraction halves path lengths every
+    round, so ``rounds``=20 covers any diameter to ~2^20 while converged
+    rounds are cheap no-op scans of the star forest. Convergence margin is
+    asserted by tests/test_capped_oracle.py on an adversarial chain; the
+    Python twin (components.py) iterates the same rounds to an exact
+    fixpoint."""
+    # every multiply-referenced per-round CTE is AS MATERIALIZED: without it
+    # DuckDB inlines each reference, and 20 chained rounds of 2x-referenced
+    # CTEs compound into an exponentially-sized plan (a 5.8s sf0.01 query
+    # stopped terminating at all)
+    parts = [f"ee0 as materialized (select a as src, b as dst from {edges_cte})"]
+    for k in range(rounds):
+        i, j = f"ee{k}", f"ee{k + 1}"
+        parts.append(
+            # large star: every neighbor dst > src hooks to src's min-or-self
+            f"ln{k} as materialized (select src, dst from {i} union all "
+            f"select dst, src from {i}), "
+            f"lm{k} as materialized (select src, least(min(dst), src) as m "
+            f"from ln{k} group by src), "
+            f"lg{k} as (select distinct n.dst as src, m.m as dst "
+            f"from ln{k} n join lm{k} m using (src) "
+            "where n.dst > n.src and n.dst != m.m), "
+            # small star: canonical (greater, lesser), hook to min, keep self
+            f"sd{k} as materialized (select greatest(src, dst) as src, "
+            f"least(src, dst) as dst from lg{k} where src != dst), "
+            f"sm{k} as materialized (select src, min(dst) as m from sd{k} "
+            "group by src), "
+            f"{j} as materialized (select distinct src, dst from ("
+            f"select d.dst as src, m.m as dst from sd{k} d "
+            "join sm{k} m using (src) where d.dst != m.m "
+            f"union all select src, m as dst from sm{k}"
+            ") where src != dst)".replace("{k}", str(k))
+        )
+    last = f"ee{rounds}"
+    parts.append(
+        f"ccomp as (select src as image_id, min(dst) as component from ("
+        f"select src, dst from {last} union all "
+        f"select dst, dst from {last}) group by src)"
+    )
+    return ", ".join(parts)
+
+
 def _duck_cc_clusters(with_xtier: bool = False) -> str:
     """DuckDB twin of the cc-mode clusterbreak queries (CC_CFG): murmur
     signatures -> capped band-emission candidates (_duck_capped_cand — the
     same skew cap + chain pairing as lsh.candidate_pairs, so the pair set
     and hence the quantile input match the engine at ANY fixture scale)
-    -> exact full-distribution type-7 quantile
-    via the zero-counting trick (threshold.py:quantile_threshold replicated
-    step for step in double arithmetic: h=(total-1)*p, lo=floor(h),
-    frac=h-lo, order statistics of the nonzero sims at integer ranks,
-    lo_val + frac*(hi_val-lo_val)) -> max(quantile, CC_FLOOR) edges
-    [-> union tier edges] -> recursive-CTE reachability with min-member
-    labels + solo singletons. Ends with CTE ``clus (image_id, cluster_id)``
-    ready for a final select; ``cand`` keeps the integer agreement count
-    ``cnt`` for the consensus medoid twin."""
-    p = PARITY.thresh_p
+    -> exact full-distribution type-7 quantile via the zero-counting trick
+    (threshold.py:quantile_threshold replicated step for step in double
+    arithmetic: h=(total-1)*p, lo=floor(h), frac=h-lo, order statistics of
+    the nonzero sims at integer ranks, lo_val + frac*(hi_val-lo_val); the
+    order statistics come from a 50-bucket histogram over the integer
+    agreement count — sim is always cnt/n_hash, so the k-th smallest sim is
+    the smallest cnt whose cumulative count exceeds k, no 12M-row sort) ->
+    max(quantile, CC_FLOOR) edges [-> union tier edges] -> unrolled
+    star-contraction CC (_duck_cc_rounds) with min-member labels + solo
+    singletons. Ends with CTE ``clus (image_id, cluster_id)`` ready for a
+    final select; ``cand`` keeps the integer agreement count ``cnt`` for
+    the consensus medoid twin."""
+    p, nh = PARITY.thresh_p, float(PARITY.n_hash)
     xt = f", {_duck_xtier_edges()}" if with_xtier else ""
     edges_src = "medges" if with_xtier else "cedges"
     merge = (
@@ -897,37 +968,34 @@ def _duck_cc_clusters(with_xtier: bool = False) -> str:
         if with_xtier
         else ""
     )
-    sig_cte = _duck_murmur_sig(K).replace("with ", "with recursive ", 1)
     return (
-        f"{sig_cte}, "
+        f"{_duck_murmur_sig(K)}, "
         f"{_duck_capped_cand()}, "
         "valid as (select distinct image_id from sig), "
+        "hist as (select cnt, count(*) as c from cand group by cnt), "
+        "chist as (select cnt, sum(c) over (order by cnt "
+        "rows between unbounded preceding and current row) as cum from hist), "
         "qs as (select (select count(*) from valid) as n, "
         "(select count(*) from cand) as m), "
         "qt as (select n*(n-1)//2 as total, m, n*(n-1)//2 - m as zeros, "
         f"(n*(n-1)//2 - 1) * {p} as h from qs), "
         "qr as (select floor(h)::bigint as lo, h - floor(h)::bigint as frac, "
         "least(floor(h)::bigint + 1, total - 1) as hi, zeros, total from qt), "
-        "rk as (select sim, row_number() over (order by sim) - 1 as rn from cand), "
         "thr as (select greatest("
         "(case when qr.lo < qr.zeros then 0.0 else "
-        "(select sim from rk where rn = qr.lo - qr.zeros) end) + qr.frac * ("
+        f"(select min(cnt) from chist where cum > qr.lo - qr.zeros) / {nh} end) "
+        "+ qr.frac * ("
         "(case when qr.hi < qr.zeros then 0.0 else "
-        "(select sim from rk where rn = qr.hi - qr.zeros) end) - "
+        f"(select min(cnt) from chist where cum > qr.hi - qr.zeros) / {nh} end) - "
         "(case when qr.lo < qr.zeros then 0.0 else "
-        "(select sim from rk where rn = qr.lo - qr.zeros) end)), "
+        f"(select min(cnt) from chist where cum > qr.lo - qr.zeros) / {nh} end)), "
         f"{CC_FLOOR}) as t from qr), "
         "cedges as materialized (select a, b from cand, thr where sim >= thr.t)"
         f"{xt}{merge}, "
-        f"e2 as materialized (select a as x, b as y from {edges_src} "
-        f"union select b as x, a as y from {edges_src}), "
-        "vx as (select distinct x as id from e2), "
-        "reach(id, r) as (select id, id from vx "
-        "union select reach.id, e2.y from reach join e2 on e2.x = reach.r), "
-        "comp as (select id as image_id, min(r) as cluster_id from reach group by id), "
-        "clus as (select image_id, cluster_id from comp "
+        f"{_duck_cc_rounds(edges_src)}, "
+        "clus as (select image_id, component as cluster_id from ccomp "
         "union all select image_id, image_id as cluster_id from valid "
-        "where image_id not in (select image_id from comp))"
+        "where image_id not in (select image_id from ccomp))"
     )
 
 
@@ -1389,12 +1457,17 @@ def _duck_louvain_golden() -> str | None:
     partition at sf0.01 is committed as a golden table — exactly how the NW
     goldens guard the DP. The golden stores canonical min-member labels
     (label-scheme independent); q_dedup_clusters_louvain emits the same
-    canonical form. Applies ONLY to the driver's sf0.01 corpus — any other
+    canonical form. Applies only to corpora with a committed golden
+    (sf0.01 — the driver gate — and sf0.1, the bench SF, r4); any other
     registered SF returns None (rows-only fallback)."""
-    if os.path.basename(os.path.normpath(_oracle_sf_dir())) != "sf0.01":
+    fname = {
+        "sf0.01": "louvain_clusters_sf001.json",
+        "sf0.1": "louvain_clusters_sf01.json",
+    }.get(os.path.basename(os.path.normpath(_oracle_sf_dir())))
+    if fname is None:
         return None
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "tests", "golden", "louvain_clusters_sf001.json")
+                        "tests", "golden", fname)
     if not os.path.exists(path):
         return None
     import json

@@ -21,8 +21,11 @@ import __spark_entry__ as entrymod
 from dynaalign_spark.session import get_spark
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# sf0.01 -> louvain_clusters_sf001.json, sf0.1 -> louvain_clusters_sf01.json
+# (same mapping as __spark_entry__._duck_louvain_golden)
+_SF = os.path.basename(os.path.normpath(SF_DIR)).replace(".", "")
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "tests", "golden", "louvain_clusters_sf001.json")
+                   "tests", "golden", f"louvain_clusters_{_SF}.json")
 
 
 def main():

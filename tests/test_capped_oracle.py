@@ -139,3 +139,45 @@ def test_default_cap_reduces_to_uncapped_form(spark, frames):
         "and x.image_id < y.image_id group by 1, 2 order by 1, 2"
     ).df()
     assert capped.equals(plain)
+
+
+def test_cc_rounds_unrolled_star_contraction():
+    """`_duck_cc_rounds` (plain-SQL unrolled large/small-star) must produce
+    exact min-member component labels on the adversarial shape that defeated
+    the old recursive-reachability oracle: a sorted chain with diameter in
+    the thousands (what chain pairing turns a hot clique into), plus random
+    small components, validated against a Python union-find."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(f"n{i:06d}", f"n{i + 1:06d}") for i in range(3000)]  # one chain
+    nodes = 3001
+    for c in range(200):  # random small components
+        size = rng.randint(2, 12)
+        base = 10_000 + c * 100
+        ids = [f"n{base + j:06d}" for j in range(size)]
+        for j in range(1, size):
+            edges.append((ids[rng.randrange(j)], ids[j]))
+        nodes += size
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = sorted((x, find(x)) for x in parent)
+
+    con = duckdb.connect()
+    con.register("edges_t", __import__("pandas").DataFrame(edges, columns=["a", "b"]))
+    got = con.sql(
+        f"with {entrymod._duck_cc_rounds('edges_t')} "
+        "select image_id, component from ccomp order by image_id"
+    ).fetchall()
+    assert [tuple(r) for r in got] == want
