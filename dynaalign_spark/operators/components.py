@@ -13,12 +13,26 @@ a parquet write of the same frontier).
 Node ids are compared with their natural ordering (image_ids are
 zero-padded strings, so lexicographic == numeric); component label = the
 minimum member id, which makes outputs deterministic.
+
+Shuffle-byte engineering (round 4): the star rounds are pure shuffle over
+the edge set and profile FLAT from 8 to 32 cores (29 vs 32 s at 1.6M —
+memory-controller-bound, not CPU-bound), so bytes-per-edge is the lever.
+Before the loop, node ids are dictionary-encoded to ORDER-PRESERVING dense
+longs (range-repartition + per-partition rank + driver offsets — the same
+distributed zipWithIndex as rpath.vocab_indexed; order preservation means
+min-over-longs == min-over-strings, so labels are unchanged), the rounds
+shuffle 16 B/edge instead of two ~11-char strings, and the final labels
+join back through the dictionary. Two extra edge-sized encode joins buy
+~60% fewer bytes on the ~5 edge-shuffles x rounds the loop performs — net
+positive from the first round, and exactly the layout a 10^12-row CC wants
+(string ids never enter the iterated shuffles).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _canon(e: DataFrame) -> DataFrame:
@@ -70,16 +84,83 @@ def _signature(e: DataFrame) -> tuple:
     return (row["c"], row["h"])
 
 
+def _node_dictionary(e: DataFrame) -> DataFrame:
+    """(id string, nid long) order-preserving dense index of the edge set's
+    nodes: range-repartition on id, per-partition rank + driver-side
+    cumulative offsets (one n_partitions-row collect — the
+    rpath.vocab_indexed distributed-zipWithIndex pattern, no single-task
+    global window). nid order == id order, so min-label CC over nids
+    yields the same labels after decoding."""
+    spark = e.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ids = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .repartitionByRange(n_part, "id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in ids.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(counts):
+        offs.append((pid, acc))
+        acc += counts[pid]
+    if not offs:
+        return ids.select("id", F.lit(0).cast("long").alias("nid")).limit(0)
+    off_df = spark.createDataFrame(offs, "pid int, off long")
+    w = Window.partitionBy("pid").orderBy("id")
+    return (
+        ids.join(F.broadcast(off_df), "pid")
+        .withColumn("nid", (F.row_number().over(w) + F.col("off")).cast("long"))
+        .select("id", "nid")
+    )
+
+
+# Edge sets below this size run the star rounds directly on the string ids:
+# the dictionary costs ~3 extra driver-synced jobs (distinct + range sample +
+# offsets collect + remap joins), which dominates at test scale where the
+# rounds finish in milliseconds anyway. Measured on a 10M-edge/4M-node
+# adversarial graph (16 rounds, pinned): encoded 94.7 s / 158.0 s at
+# local[32] / local[8] vs string 104.0 s / 251.4 s — both levels faster,
+# the bandwidth-starved one by 37%.
+ENCODE_MIN_EDGES = 1_000_000
+
+
 def connected_components(
-    edges: DataFrame, max_rounds: int = 50, src: str = "a", dst: str = "b"
+    edges: DataFrame, max_rounds: int = 50, src: str = "a", dst: str = "b",
+    encode_ids: bool | None = None,
 ) -> tuple[DataFrame, int]:
     """edges (src, dst) -> (assignments (image_id, component), rounds).
 
     Every node appearing in `edges` gets a component label (min member id).
-    Callers add singletons (nodes with no edges) themselves.
+    Callers add singletons (nodes with no edges) themselves. ``encode_ids``:
+    force the long-id dictionary path on/off (None = auto by edge count vs
+    ENCODE_MIN_EDGES; tests pin True to cover the encode path on small
+    fixtures).
     """
     e = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     e = e.localCheckpoint()
+    if encode_ids is None:
+        encode_ids = e.count() >= ENCODE_MIN_EDGES  # cheap: checkpointed
+    nid = None
+    if encode_ids:
+        nid = _node_dictionary(e).localCheckpoint()
+        e = (
+            e.join(
+                nid.select(F.col("id").alias("src"), F.col("nid").alias("s2")),
+                "src",
+            )
+            .join(
+                nid.select(F.col("id").alias("dst"), F.col("nid").alias("d2")),
+                "dst",
+            )
+            .select(F.col("s2").alias("src"), F.col("d2").alias("dst"))
+            .localCheckpoint()
+        )
     prev_sig = None
     prev_e = e
     rounds = 0
@@ -105,4 +186,17 @@ def connected_components(
         .groupBy("image_id")
         .agg(F.min("component").alias("component"))
     )
+    if nid is not None:
+        # decode both columns back through the order-preserving dictionary
+        labels = (
+            labels.join(
+                nid.select(F.col("nid").alias("image_id"), F.col("id").alias("iid")),
+                "image_id",
+            )
+            .join(
+                nid.select(F.col("nid").alias("component"), F.col("id").alias("cid")),
+                "component",
+            )
+            .select(F.col("iid").alias("image_id"), F.col("cid").alias("component"))
+        )
     return labels, rounds

@@ -92,6 +92,11 @@ def test_connected_components_vs_union_find(spark):
     expect = oracle.connected_components(nodes, edges)
     assert got == expect
     assert rounds <= 10
+    # the long-id dictionary path (auto-engaged above ENCODE_MIN_EDGES to
+    # cut the star rounds' shuffle bytes) must produce identical labels —
+    # pinned on here because the small fixture would never trigger it
+    enc, _ = connected_components(df, encode_ids=True)
+    assert {r["image_id"]: r["component"] for r in enc.collect()} == expect
 
 
 def test_clusterbreak_recall_and_precision(spark, images, fixture_rows):
