@@ -935,10 +935,25 @@ def _duck_cc_rounds(edges_cte: str, rounds: int = 20) -> str:
             ") where src != dst)".replace("{k}", str(k))
         )
     last = f"ee{rounds}"
+    prev = f"ee{rounds - 1}"
+    # convergence guard (ADVICE r04): the unrolled form has no in-query
+    # fixpoint check, so a graph needing >`rounds` contractions would return
+    # silently wrong labels. At the fixpoint the star forest is idempotent —
+    # the last two rounds must be set-identical; if not, error() loudly.
+    parts.append(
+        f"ccguard as (select case when (select count(*) from ("
+        f"((select src, dst from {last}) except (select src, dst from {prev}))"
+        f" union all "
+        f"((select src, dst from {prev}) except (select src, dst from {last}))"
+        f")) > 0 then error('cc star-contraction did not converge in "
+        f"{rounds} rounds — raise rounds in _duck_cc_rounds') "
+        "else 0 end as ok)"
+    )
     parts.append(
         f"ccomp as (select src as image_id, min(dst) as component from ("
         f"select src, dst from {last} union all "
-        f"select dst, dst from {last}) group by src)"
+        f"select dst, dst from {last}) "
+        "where (select min(ok) from ccguard) = 0 group by src)"
     )
     return ", ".join(parts)
 

@@ -92,7 +92,10 @@ def _node_dictionary(e: DataFrame) -> DataFrame:
     global window). nid order == id order, so min-label CC over nids
     yields the same labels after decoding."""
     spark = e.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:  # conf may be "auto" under AQE-managed deployments
+        n_part = e.rdd.getNumPartitions() or spark.sparkContext.defaultParallelism
     ids = (
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))

@@ -181,3 +181,22 @@ def test_cc_rounds_unrolled_star_contraction():
         "select image_id, component from ccomp order by image_id"
     ).fetchall()
     assert [tuple(r) for r in got] == want
+
+
+def test_cc_rounds_nonconvergence_errors_loudly():
+    """ADVICE r04: with too few rounds for the graph's diameter the oracle
+    must raise (the ccguard CTE), never return silently wrong labels."""
+    import pandas as pd
+    import pytest
+
+    # a 3000-node chain needs ~log2(diameter) star rounds; 2 is not enough
+    edges = pd.DataFrame(
+        [(f"n{i:06d}", f"n{i + 1:06d}") for i in range(3000)], columns=["a", "b"]
+    )
+    con = duckdb.connect()
+    con.register("edges_t", edges)
+    with pytest.raises(Exception, match="did not converge"):
+        con.sql(
+            f"with {entrymod._duck_cc_rounds('edges_t', rounds=2)} "
+            "select image_id, component from ccomp order by image_id"
+        ).fetchall()
