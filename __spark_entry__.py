@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dynaalign_spark import annsearch, rpath, textops  # noqa: E402
-from dynaalign_spark.config import PARITY  # noqa: E402
+from dynaalign_spark.config import PARITY, SCALE  # noqa: E402
 from dynaalign_spark.operators.clusterbreak import clusterbreak_spark  # noqa: E402
 from dynaalign_spark.operators.lsh import candidate_pairs  # noqa: E402
 from dynaalign_spark.operators.signatures import add_signatures  # noqa: E402
@@ -386,6 +386,23 @@ def q_dedup_clusters_louvain(spark, sf_dir):
     return _canonical_clusters(res)
 
 
+def q_dedup_clusters_scale(spark, sf_dir):
+    """Production SCALE config on the same corpus (VERDICT r04 #4): the only
+    committed cluster goldens ran PARITY, whose sf0.1 partition is an honest
+    hairball degenerate (no sim floor -> noise-band quantile). This query
+    drift-gates the partition a production run actually produces —
+    rows_per_band=2 banding, band_group_cap=64 skew cap, and the
+    min_edge_sim=0.3 floor that keeps the noise-band quantile from welding
+    the corpus (config.py SCALE) — with canonical min-member labels. Value
+    oracle: committed golden (tests/golden/scale_clusters_sf001.json /
+    _sf01.json, regenerated by scripts/make_louvain_golden.py <sf_dir>
+    scale), same mechanism as dedup_clusters_louvain."""
+    res = clusterbreak_spark(
+        _docs_as_images(spark, sf_dir), SCALE.with_(size_max=50, size_min=1)
+    )
+    return _canonical_clusters(res)
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k — the data-adaptive scale path next to the
     hyperplane-LSH one (rows-only: approximate, no SQL twin; recall vs the
@@ -607,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidates": q_lsh_candidates,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_louvain": q_dedup_clusters_louvain,
+        "dedup_clusters_scale": q_dedup_clusters_scale,
         "multitier_clusters": q_multitier_clusters,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1475,9 +1493,19 @@ def _duck_louvain_golden() -> str | None:
     canonical form. Applies only to corpora with a committed golden
     (sf0.01 — the driver gate — and sf0.1, the bench SF, r4); any other
     registered SF returns None (rows-only fallback)."""
+    return _duck_partition_golden("louvain_clusters")
+
+
+def _duck_scale_golden() -> str | None:
+    """Golden-VALUES oracle for the SCALE-config production partition
+    (VERDICT r04 #4) — same mechanism as _duck_louvain_golden."""
+    return _duck_partition_golden("scale_clusters")
+
+
+def _duck_partition_golden(prefix: str) -> str | None:
     fname = {
-        "sf0.01": "louvain_clusters_sf001.json",
-        "sf0.1": "louvain_clusters_sf01.json",
+        "sf0.01": f"{prefix}_sf001.json",
+        "sf0.1": f"{prefix}_sf01.json",
     }.get(os.path.basename(os.path.normpath(_oracle_sf_dir())))
     if fname is None:
         return None
@@ -1796,6 +1824,7 @@ def oracle_sql() -> dict[str, str]:
         "nw_verified_pairs": lambda: _duck_nw(_nw_pairs_sql(all_pairs=False)),
         "ann_ivf_topk": _duck_ivf_topk,
         "dedup_clusters_louvain": _duck_louvain_golden,
+        "dedup_clusters_scale": _duck_scale_golden,
     }
     # Plain strings are pre-built (pure f-string interpolation over module
     # constants — cannot fail); callables are evaluated via _try_oracle so a

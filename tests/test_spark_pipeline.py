@@ -348,3 +348,40 @@ def test_louvain_golden_partition_drift_gate(spark):
         for r in entrymod.q_dedup_clusters_louvain(spark, sf_dir).collect()
     }
     assert fresh == golden
+
+
+def test_scale_golden_partition_drift_gate(spark):
+    """The committed sf0.01 SCALE-config golden (tests/golden/
+    scale_clusters_sf001.json — the dedup_clusters_scale value oracle,
+    VERDICT r04 #4) must match a fresh run of the seeded production-config
+    pipeline (rows_per_band=2, band_group_cap=64, min_edge_sim=0.3).
+    Regenerate with `scripts/make_louvain_golden.py <sf_dir> scale` ONLY if
+    the change is intentional. Also asserts the partition is non-degenerate
+    — the floor must keep the noise-band quantile from welding the corpus
+    into a hairball (the PARITY sf0.1 golden's documented degenerate)."""
+    import json
+    import os
+
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.01"
+    golden_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "golden", "scale_clusters_sf001.json",
+    )
+    if not os.path.isdir(sf_dir):
+        import pytest
+
+        pytest.skip("driver testdata absent")
+    golden = {tuple(r) for r in json.load(open(golden_path))}
+    fresh = {
+        (r["image_id"], r["cluster_id"])
+        for r in entrymod.q_dedup_clusters_scale(spark, sf_dir).collect()
+    }
+    assert fresh == golden
+    from collections import Counter
+
+    sizes = Counter(c for _, c in fresh)
+    assert len(sizes) >= 50                      # many clusters, not one weld
+    assert max(sizes.values()) <= 50             # size_max triage held
+    assert sum(1 for v in sizes.values() if v > 1) >= 20   # real dup groups
