@@ -586,6 +586,84 @@ def run_skew() -> dict:
     }
 
 
+def run_jaccard_ab() -> dict:
+    """VERDICT r04 #5 evidence for the >10^8-doc Jaccard scale path.
+
+    A/B at sf0.1 documents: capped exact tier (ngram_jaccard_pairs,
+    max_doc_freq=JMAXDF — the driver-contract tier) vs the LSH
+    pair-generation form (ngram_jaccard_pairs_lsh — the declared path past
+    ~10^8 docs, where even the capped co-shingle join's candidate mass is
+    corpus-quadratic on shared-vocab corpora). Reports wall for both, the
+    banding loss (recall of >=threshold pairs vs exact), and the max value
+    delta on the common pairs (must be 0 up to float and xxhash64-collision
+    noise — returned values are exact by construction). Then a 1.6M-caption
+    wall-clock for the LSH path alone (the exact tier is the documented
+    never-the-scale-path there)."""
+    from dynaalign_spark import textops
+    from dynaalign_spark.session import get_spark
+
+    thr = 0.5
+    jmaxdf = int(os.environ.get("JMAXDF", "400"))
+    sub_before = _substrate_probe()
+    spark = get_spark(app="jaccard-ab", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS), extra=_env_extra())
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def timed(make_df, reps=2):
+        best, n = None, None
+        for _ in range(reps):
+            t0 = time.time()
+            n = make_df().count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 2), n
+
+    t_exact, n_exact = timed(lambda: textops.ngram_jaccard_pairs(
+        docs, 6, threshold=thr, max_doc_freq=jmaxdf))
+    t_lsh, n_lsh = timed(lambda: textops.ngram_jaccard_pairs_lsh(
+        docs, 6, threshold=thr))
+    exact = {(r["a"], r["b"]): r["jaccard"] for r in textops.ngram_jaccard_pairs(
+        docs, 6, threshold=thr, max_doc_freq=jmaxdf).collect()}
+    lsh = {(r["a"], r["b"]): r["jaccard"] for r in textops.ngram_jaccard_pairs_lsh(
+        docs, 6, threshold=thr).collect()}
+    common = set(exact) & set(lsh)
+    recall = len(common) / len(exact) if exact else 1.0
+    max_dv = max((abs(exact[p] - lsh[p]) for p in common), default=0.0)
+
+    # 1.6M-caption wall clock, LSH path only (ids projected numeric — the
+    # function's canonical a<b ordering is on long ids, fixture ids are
+    # 'img%08d' strings)
+    big_path = os.path.join(CACHE_DIR, "images_dist_1600000_s42.parquet")
+    big = None
+    if os.path.exists(big_path):
+        from pyspark.sql import functions as F
+
+        cap = (spark.read.parquet(big_path)
+               .select(F.substring("image_id", 4, 8).cast("long").alias("doc_id"),
+                       F.col("caption").alias("text")))
+        n_rows = cap.count()
+        t_big, n_big = timed(lambda: textops.ngram_jaccard_pairs_lsh(
+            cap, 6, threshold=thr), reps=2)
+        big = {"n_rows": n_rows, "sec": t_big, "n_pairs": n_big,
+               "rows_per_sec": round(n_rows / t_big, 1)}
+    spark.stop()
+    return {
+        "metric": "jaccard_lsh_ab",
+        "unit": "sec",
+        "sf_dir": SF_DIR,
+        "threshold": thr,
+        "exact_capped": {"sec": t_exact, "n_pairs": n_exact, "jmaxdf": jmaxdf},
+        "lsh": {"sec": t_lsh, "n_pairs": n_lsh},
+        "recall_vs_exact": round(recall, 4),
+        "n_common": len(common),
+        "max_value_delta_on_common": max_dv,
+        "lsh_1p6M": big,
+        "cpus": int(CPUS),
+        "substrate": {"before": sub_before, "after": _substrate_probe()},
+    }
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker-gen":
         _worker_gen()
@@ -598,11 +676,14 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--skew":
         print(json.dumps(run_skew()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--jaccard-ab":
+        print(json.dumps(run_jaccard_ab()))
     elif len(sys.argv) > 1:
         # fail fast on typos: a misspelled mode must not silently launch the
         # (expensive) default per-round bench with the wrong semantics
         raise SystemExit(
             f"unknown mode {sys.argv[1]!r}; modes: --scaling | --skew | "
+            f"--jaccard-ab | "
             f"--worker N [reps] | --worker-profile N | --worker-gen | "
             f"(none = per-round bench at $SPARK_GRAFT_SF_DIR)"
         )
