@@ -588,6 +588,27 @@ def q_cluster_consensus(spark, sf_dir):
     ).select("cluster_id", "consensus_caption", "exemplar_image_id", "size")
 
 
+def q_cluster_consensus_msa(spark, sf_dir):
+    """Align-first consensus — the reference's clusterconsensus SHAPE
+    (AlignSeqs -> ConsensusSequence, R/clusterbreak.R:309-320), realized as
+    the repo's own center-star MSA over the production SCALE clusters
+    (operators/msa.py: alignment-medoid center, affine-NW pairwise aligns,
+    once-a-gap-always-a-gap merge, column-majority vote; exemplar = the
+    center). Center-star is genuinely non-SQL (iterative DP + merge), so
+    the value oracle is a committed golden of the deterministic run
+    (tests/golden/msa_consensus_sf001.json / _sf01.json, regenerated by
+    scripts/make_msa_golden.py, drift-gated in tests/test_msa.py) — the
+    same mechanism as the Louvain/SCALE partition goldens; other SFs fall
+    back to the rows-only check."""
+    from dynaalign_spark.operators.consensus import cluster_representatives
+
+    images = _docs_as_images(spark, sf_dir)
+    res = clusterbreak_spark(images, SCALE.with_(size_max=50, size_min=1))
+    return cluster_representatives(
+        _canonical_clusters(res), images, method="msa"
+    ).select("cluster_id", "consensus_caption", "exemplar_image_id", "size")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "shingle_counts": q_shingle_counts,
@@ -634,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "incremental_matches": q_incremental_matches,
         "cluster_consensus": q_cluster_consensus,
+        "cluster_consensus_msa": q_cluster_consensus_msa,
         "nw_similarity": q_nw_similarity,
         "nw_verified_pairs": q_nw_verified_pairs,
     }
@@ -1502,6 +1524,38 @@ def _duck_scale_golden() -> str | None:
     return _duck_partition_golden("scale_clusters")
 
 
+def _duck_msa_golden() -> str | None:
+    """Golden-VALUES oracle for the center-star MSA consensus (same
+    committed-golden mechanism as the partition goldens: the MSA kernel is
+    iterative DP + merge, not SQL). Rows: (cluster_id, consensus_caption,
+    exemplar_image_id, size); captions are SQL-escaped by quote doubling."""
+    fname = {
+        "sf0.01": "msa_consensus_sf001.json",
+        "sf0.1": "msa_consensus_sf01.json",
+    }.get(os.path.basename(os.path.normpath(_oracle_sf_dir())))
+    if fname is None:
+        return None
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "golden", fname)
+    if not os.path.exists(path):
+        return None
+    import json
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    rows = json.load(open(path))
+    vals = ", ".join(
+        f"('{esc(c)}', '{esc(cons)}', '{esc(ex)}', {int(sz)})"
+        for c, cons, ex, sz in rows
+    )
+    return (
+        f"select cluster_id, consensus_caption, exemplar_image_id, "
+        f"cast(size as bigint) as size from (values {vals}) "
+        "t(cluster_id, consensus_caption, exemplar_image_id, size)"
+    )
+
+
 def _duck_partition_golden(prefix: str) -> str | None:
     fname = {
         "sf0.01": f"{prefix}_sf001.json",
@@ -1825,6 +1879,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _duck_ivf_topk,
         "dedup_clusters_louvain": _duck_louvain_golden,
         "dedup_clusters_scale": _duck_scale_golden,
+        "cluster_consensus_msa": _duck_msa_golden,
     }
     # Plain strings are pre-built (pure f-string interpolation over module
     # constants — cannot fail); callables are evaluated via _try_oracle so a

@@ -96,6 +96,34 @@ def nw_pair_stats(a: str, b: str, sub: np.ndarray,
         glen = max(n, m)
         # boundary gap run of g chars costs o + (g-1)e (cpp:226)
         return 0, glen, int(-gap_open - (glen - 1) * gap_ext) if glen else 0
+    tb, score = _nw_fill(ab, bb, sub, gap_open, gap_ext)
+    # positional traceback walk (cpp:299-313)
+    i, j = n, m
+    matches = 0
+    length = 0
+    while i > 0 or j > 0:
+        length += 1
+        t = tb[i, j]
+        if t == 0:
+            if ab[i - 1] == bb[j - 1]:
+                matches += 1
+            i -= 1
+            j -= 1
+        elif t == 1:
+            i -= 1
+        else:
+            j -= 1
+    return matches, length, score
+
+
+def _nw_fill(ab: np.ndarray, bb: np.ndarray, sub: np.ndarray,
+             gap_open: int, gap_ext: int):
+    """DP fill over non-empty byte arrays -> (traceback matrix, score).
+
+    Shared by ``nw_pair_stats`` (match counting) and ``nw_pair_align``
+    (gapped-row emission); the recurrences are the reference's exactly
+    (module docstring)."""
+    n, m = len(ab), len(bb)
     o, e = np.int64(gap_open), np.int64(gap_ext)
     S = sub[np.ix_(ab, bb)].astype(np.int64)  # scores for every (a_i, b_j)
     NEG = np.int64(-(10**15))
@@ -139,24 +167,49 @@ def nw_pair_stats(a: str, b: str, sub: np.ndarray,
         vd = np.maximum(vm, np.maximum(ix, iy))
         vd[0] = ix[0]
         vm_prev, ix_prev, vd_prev = vm, ix, vd
-    score = int(vm_prev[m])
-    # positional traceback walk (cpp:299-313)
+    return tb, int(vm_prev[m])
+
+
+GAP = np.int16(-1)
+
+
+def nw_pair_align(a: str, b: str, sub: np.ndarray,
+                  gap_open: int = 10, gap_ext: int = 4):
+    """One-pair affine NW returning the ALIGNMENT itself: two equal-length
+    int16 arrays of byte values with ``GAP`` (-1) at gap columns — the same
+    DP fill and positional traceback as ``nw_pair_stats``, emitting columns
+    instead of counting them. Pairwise NW never emits a gap/gap column, so
+    at every position at least one side is a byte value."""
+    ab = np.frombuffer(a.encode("utf-8", "replace"), dtype=np.uint8)
+    bb = np.frombuffer(b.encode("utf-8", "replace"), dtype=np.uint8)
+    n, m = len(ab), len(bb)
+    if n == 0 or m == 0:
+        # one side empty: the other aligns entirely against boundary gaps
+        ra = ab.astype(np.int16) if n else np.full(m, GAP, dtype=np.int16)
+        rb = bb.astype(np.int16) if m else np.full(n, GAP, dtype=np.int16)
+        return ra, rb
+    tb, _ = _nw_fill(ab, bb, sub, gap_open, gap_ext)
+    ca = np.empty(n + m, dtype=np.int16)
+    cb = np.empty(n + m, dtype=np.int16)
+    t = 0
     i, j = n, m
-    matches = 0
-    length = 0
     while i > 0 or j > 0:
-        length += 1
-        t = tb[i, j]
-        if t == 0:
-            if ab[i - 1] == bb[j - 1]:
-                matches += 1
+        mv = tb[i, j]
+        if mv == 0:
+            ca[t] = ab[i - 1]
+            cb[t] = bb[j - 1]
             i -= 1
             j -= 1
-        elif t == 1:
+        elif mv == 1:
+            ca[t] = ab[i - 1]
+            cb[t] = GAP
             i -= 1
         else:
+            ca[t] = GAP
+            cb[t] = bb[j - 1]
             j -= 1
-    return matches, length, score
+        t += 1
+    return ca[:t][::-1].copy(), cb[:t][::-1].copy()
 
 
 def nw_similarity_udf(matrix_name: str = "BLOSUM62",

@@ -55,9 +55,31 @@ def _consensus_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _consensus_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+def _consensus_group_msa(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Align-first consensus (reference clusterconsensus shape,
+    R/clusterbreak.R:309-320): center-star MSA over the cluster's captions
+    (msa.py) then column-majority vote; exemplar = the alignment medoid
+    (the center). Deterministic: members sorted by image_id, first-argmax
+    tie-breaks throughout."""
+    from ..operators.msa import center_star_consensus
+
+    pdf = pdf.sort_values("image_id").reset_index(drop=True)
+    caps = ["" if c is None else str(c) for c in pdf["caption"].tolist()]
+    cons, center = center_star_consensus(caps)
+    return pd.DataFrame(
+        {
+            "cluster_id": [str(pdf["cluster_id"].iloc[0])],
+            "consensus_caption": [cons],
+            "exemplar_image_id": [pdf["image_id"].iloc[max(center, 0)]],
+            "size": [len(pdf)],
+        }
+    )
+
+
+def _consensus_bucket(pdf: pd.DataFrame, group_fn=None) -> pd.DataFrame:
+    group_fn = group_fn or _consensus_group
     outs = [
-        _consensus_group(g) for _, g in pdf.groupby("cluster_id", sort=True)
+        group_fn(g) for _, g in pdf.groupby("cluster_id", sort=True)
     ]
     return (
         pd.concat(outs, ignore_index=True)
@@ -75,15 +97,26 @@ def _consensus_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def cluster_representatives(
     clusters: DataFrame, images: DataFrame, signatures: DataFrame | None = None,
-    n_buckets: int = 256,
+    n_buckets: int = 256, method: str = "majority",
 ) -> DataFrame:
     """clusters (image_id, cluster_id) + images -> one row per cluster:
     (cluster_id, consensus_caption, exemplar_image_id, size).
 
-    The shuffle key is a hash bucket of cluster_id (``n_buckets`` groups),
-    NOT cluster_id itself — many clusters per Python invocation."""
+    ``method="majority"`` is the alignment-free tier (per-position vote at
+    the median length + signature-agreement medoid); ``method="msa"`` is
+    the align-first tier — center-star MSA then column vote (msa.py), the
+    reference's AlignSeqs -> ConsensusSequence shape. The shuffle key is a
+    hash bucket of cluster_id (``n_buckets`` groups), NOT cluster_id
+    itself — many clusters per Python invocation."""
+    if method not in ("majority", "msa"):
+        raise ValueError(f"unknown consensus method: {method}")
+    group_fn = _consensus_group_msa if method == "msa" else _consensus_group
+
+    def bucket_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _consensus_bucket(pdf, group_fn)
+
     joined = clusters.join(images.select("image_id", "caption"), "image_id")
-    if signatures is not None:
+    if signatures is not None and method == "majority":
         joined = joined.join(
             signatures.select("image_id", "minhash"), "image_id", "left"
         )
@@ -92,5 +125,5 @@ def cluster_representatives(
             "bucket", F.pmod(F.xxhash64("cluster_id"), F.lit(n_buckets))
         )
         .groupBy("bucket")
-        .applyInPandas(_consensus_bucket, CONSENSUS_SCHEMA)
+        .applyInPandas(bucket_fn, CONSENSUS_SCHEMA)
     )
