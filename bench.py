@@ -42,8 +42,32 @@ os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
 # shuffle I/O is a serial constant that poisons the N-vs-4N comparison; a
 # real cluster gives each executor its own local NVMe. tmpfs restores the
 # per-core scaling of shuffle writes (126G available, shuffles are ~10G).
+# Per-PID subdir + atexit cleanup: tmpfs counts against RAM, and a worker
+# that dies ungracefully (OOM/SIGKILL) leaves its shuffle files behind —
+# measured 85 GB of dead residue after one killed 6.4M run, enough to OOM
+# every later JVM on this 126 GB box. Graceful exits are cleaned by Spark;
+# this cleans the crash case (next run's sweep removes dirs with no live
+# owner pid).
 if os.path.isdir("/dev/shm"):
-    os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+    _shm_root = "/dev/shm/spark-local"
+    if "SPARK_LOCAL_DIRS" not in os.environ:
+        import atexit
+        import shutil
+
+        # sweep residue whose owning pid is gone (crashed earlier runs)
+        if os.path.isdir(_shm_root):
+            for _d in os.listdir(_shm_root):
+                _p = os.path.join(_shm_root, _d)
+                try:
+                    _pid = int(_d.split("-")[-1])
+                    alive = os.path.exists(f"/proc/{_pid}")
+                except ValueError:
+                    alive = False
+                if not alive:
+                    shutil.rmtree(_p, ignore_errors=True)
+        _mine = os.path.join(_shm_root, f"pid-{os.getpid()}")
+        os.environ["SPARK_LOCAL_DIRS"] = _mine
+        atexit.register(lambda: shutil.rmtree(_mine, ignore_errors=True))
 
 
 def images_parquet(spark, n_clusters: int = IMAGES_N_CLUSTERS) -> str:
