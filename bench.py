@@ -368,6 +368,15 @@ def _env_extra() -> dict:
     if oh != "0":
         extra.setdefault("spark.memory.offHeap.enabled", "true")
         extra.setdefault("spark.memory.offHeap.size", oh)
+    # Shuffle files live on tmpfs (RAM): they are deleted only when the
+    # driver GCs the ShuffleDependency (ContextCleaner), and Spark's
+    # periodic-GC backstop defaults to 30 MINUTES — a slow multitier rep
+    # accumulates every stage's shuffle (measured 77 GB at 6.4M) before the
+    # first cleanup, and JVM + tmpfs overshoot the box (two OOM kills,
+    # BENCH.md operational note). A 2-minute periodic GC bounds tmpfs
+    # residency at a few stages' worth; applied identically at every
+    # parallelism level (a fixed background cost, not a scaling term).
+    extra.setdefault("spark.cleaner.periodicGC.interval", "2min")
     return extra
 
 
