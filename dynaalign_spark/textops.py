@@ -587,15 +587,17 @@ def suffix_candidates(docs: DataFrame, prefix_len: int, min_suffix: int = 8,
                       short_broadcast_max: int = 2_000_000) -> DataFrame:
     """Distributed suffix-array pass for exact substring duplicates.
 
-    Explode every suffix (capped to its first ``prefix_len`` chars as the sort
-    key), range-partition + sort by key, then pair docs sharing a key — a doc
-    whose *entire text* equals a key prefix of another doc's suffix is a
-    substring duplicate. This relational form finds (contained, container)
-    pairs where contained's full text occurs in container.
+    Explode every suffix (capped to its first ``prefix_len`` chars, carried
+    as an 8-byte xxhash64 of that window), hash-partition by key, then pair
+    docs sharing a key — a doc whose *entire text* equals a key prefix of
+    another doc's suffix is a substring duplicate. This relational form
+    finds (contained, container) pairs where contained's full text occurs
+    in container.
 
-    At scale: suffixes ~= total chars rows; repartitionByRange on the key
-    keeps the sort distributed (the reference analog is the exact tier of
-    similarityNW, src/pairwiseSeqAlign.cpp:331-365 — SURVEY.md §2.4).
+    At scale: suffixes ~= total chars rows, so this relation IS the tier's
+    shuffle bill — it crosses the wire once, as (hash, id) rows (~16 B),
+    never as text (the reference analog is the exact tier of similarityNW,
+    src/pairwiseSeqAlign.cpp:331-365 — SURVEY.md §2.4).
 
     Equivalence to the direct ``contains`` join (the DuckDB oracle,
     VERDICT r03 #9) is EXACT, not approximate, under the shared
@@ -645,18 +647,36 @@ def suffix_candidates(docs: DataFrame, prefix_len: int, min_suffix: int = 8,
         f"transform(sequence(1, length({text_col}) - {min_suffix} + 1),"
         f" i -> substring({text_col}, i, {prefix_len}))"
     )
-    suffixes = docs.where(F.length(text_col) >= min_suffix).select(
-        F.col(id_col).alias("container"),
-        F.explode(F.expr(expr)).alias("skey"),
-    ).dropDuplicates(["container", "skey"])
+    # Long tier shuffles 8-byte xxhash64 keys, never the 24-char windows
+    # (r5, found by the 6.4M shuffle-residency incident — this tier's
+    # suffix rows dominated ~75 GB of live shuffle; BENCH.md r5b):
+    # candidate GENERATION only needs key equality, and the final JVM
+    # `contains` verify removes any hash-collision false candidate, so
+    # hashing loses nothing (equal windows always collide). Shuffle order
+    # matters too: repartition(skey_h) FIRST, then the (container, skey_h)
+    # dedup — HashPartitioning(skey_h) satisfies the aggregate's clustered
+    # distribution (subset of its keys) AND the join's, so the wide suffix
+    # relation crosses the wire ONCE, as (long, id) rows.
+    expr_h = (
+        f"transform(sequence(1, length({text_col}) - {min_suffix} + 1),"
+        f" i -> xxhash64(substring({text_col}, i, {prefix_len})))"
+    )
+    suffixes = (
+        docs.where(F.length(text_col) >= min_suffix)
+        .select(
+            F.col(id_col).alias("container"),
+            F.explode(F.expr(expr_h)).alias("skey_h"),
+        )
+        .repartition("skey_h")
+        .dropDuplicates(["container", "skey_h"])
+    )
     eligible = docs.where(F.length(text_col) >= min_suffix)
     whole = eligible.where(F.length(text_col) >= prefix_len).select(
         F.col(id_col).alias("contained"),
-        F.substring(F.col(text_col), 1, prefix_len).alias("skey"),
+        F.xxhash64(F.substring(F.col(text_col), 1, prefix_len)).alias("skey_h"),
     )
     cands_long = (
-        suffixes.repartition("skey")
-        .join(whole, "skey")
+        suffixes.join(whole, "skey_h")
         .where(F.col("contained") != F.col("container"))
         .select("contained", "container")
     )
@@ -680,8 +700,19 @@ def suffix_candidates(docs: DataFrame, prefix_len: int, min_suffix: int = 8,
                 F.explode(F.expr(expr)).alias("skey"),
             ).join(F.broadcast(short), F.substring("skey", 1, min_suffix) == short["k8"])
         else:
-            sfx_short = suffixes.withColumn(
-                "k8", F.substring("skey", 1, min_suffix)).join(short, "k8")
+            # rare short-heavy fallback: this branch needs the TEXT windows
+            # (startswith below), so it materializes its own text-keyed
+            # suffix relation — the hashed long-tier relation stays narrow
+            sfx_short = (
+                docs.where(F.length(text_col) >= min_suffix)
+                .select(
+                    F.col(id_col).alias("container"),
+                    F.explode(F.expr(expr)).alias("skey"),
+                )
+                .dropDuplicates(["container", "skey"])
+                .withColumn("k8", F.substring("skey", 1, min_suffix))
+                .join(short, "k8")
+            )
         cands_short = (
             sfx_short
             .where(
