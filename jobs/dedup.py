@@ -73,6 +73,12 @@ def parse_args(argv=None):
     p.add_argument("--substring-min-len", type=int, default=32,
                    help="minimum shared-region length for --substring-mode "
                         "lcs/both")
+    p.add_argument("--consensus", default="majority",
+                   choices=["majority", "msa"],
+                   help="per-cluster consensus tier: 'majority' = "
+                        "alignment-free per-position vote (cheap), 'msa' = "
+                        "center-star MSA then column vote (the reference's "
+                        "AlignSeqs->ConsensusSequence shape; operators/msa.py)")
     p.add_argument("--plots", action="store_true",
                    help="write <output>/plots/{consensus.png,similarity.png} "
                         "(reference consensusplot / plot_similarity_matrix, "
@@ -108,6 +114,12 @@ def main(argv=None):
         + (b"px" if args.pixel_tier else b"")
         + (f"sub:{args.substring_mode}:{args.substring_min_len}".encode()
            if args.substring_tier else b"")
+        # consensus method is part of the config fingerprint: switching
+        # --consensus must invalidate the checkpointed representatives
+        # stage, not resume past it ("majority" keeps the historical
+        # fingerprint so existing checkpoint chains stay resumable)
+        + (b"" if args.consensus == "majority"
+           else f"cons:{args.consensus}".encode())
     ).hexdigest()[:16]
     runner = StageRunner(spark, args.output, resume=not args.no_resume,
                          config_fingerprint=fp)
@@ -208,7 +220,9 @@ def main(argv=None):
 
     reps = runner.run(
         "representatives",
-        lambda: cluster_representatives(clusters, images, signatures=sig),
+        lambda: cluster_representatives(
+            clusters, images, signatures=sig, method=args.consensus
+        ),
     )
 
     if args.plots:

@@ -89,3 +89,43 @@ def test_job_config_change_invalidates_checkpoint(spark, small_images_path, tmp_
     with open(os.path.join(out, "run_summary.json")) as f:
         s = json.load(f)
     assert all(not st["skipped"] for st in s["stages"])
+
+
+def test_job_consensus_msa_flag(spark, small_images_path, tmp_path):
+    """--consensus msa produces center-star representatives (matching the
+    in-memory kernel) and its fingerprint differs from the majority run's,
+    so switching methods recomputes instead of resuming past the stage."""
+    import jobs.dedup as job
+    from dynaalign_spark.operators.msa import center_star_consensus
+
+    out = str(tmp_path / "out_msa")
+    rc = job.main(["--input", small_images_path, "--output", out,
+                   "--config", "parity", "--set", "size_min=1",
+                   "--consensus", "msa"])
+    assert rc == 0
+    reps = {
+        r["cluster_id"]: (r["consensus_caption"], r["exemplar_image_id"])
+        for r in spark.read.parquet(
+            os.path.join(out, "representatives")).collect()
+    }
+    clusters = {}
+    for r in spark.read.parquet(os.path.join(out, "clusters")).collect():
+        clusters.setdefault(r["cluster_id"], []).append(r["image_id"])
+    caps = {
+        r["image_id"]: r["caption"]
+        for r in spark.read.parquet(small_images_path).collect()
+    }
+    assert set(reps) == set(clusters)
+    for cid, members in clusters.items():
+        members = sorted(members)
+        cons, center = center_star_consensus([caps[m] for m in members])
+        assert reps[cid] == (cons, members[max(center, 0)])
+
+    # same output dir, method switched back to majority -> fingerprint
+    # mismatch must invalidate the chain (full recompute, no skips)
+    rc2 = job.main(["--input", small_images_path, "--output", out,
+                    "--config", "parity", "--set", "size_min=1"])
+    assert rc2 == 0
+    with open(os.path.join(out, "run_summary.json")) as f:
+        s2 = json.load(f)
+    assert all(not st["skipped"] for st in s2["stages"])
