@@ -3,11 +3,14 @@
 caption and an exemplar member.
 
 The reference pipes each cluster through DECIPHER::AlignSeqs (external MSA
-black box, DESCRIPTION:22-23) then ConsensusSequence; we implement the
-alignment-free variant pinned in SURVEY.md §2 #25: per-position majority
-vote at the median caption length (ties -> lexicographically smallest char),
-plus a medoid exemplar = the member maximizing total signature agreement to
-its cluster (deterministic tie-break by image_id).
+black box, DESCRIPTION:22-23) then ConsensusSequence; this module ships
+both tiers (SURVEY.md §2 #25): ``method="majority"`` is the alignment-free
+variant — per-position majority vote at the median caption length (ties ->
+lexicographically smallest char), plus a medoid exemplar = the member
+maximizing total signature agreement to its cluster (deterministic
+tie-break by image_id); ``method="msa"`` aligns first via the from-scratch
+center-star MSA (operators/msa.py) and votes per aligned column, exemplar
+= the alignment medoid.
 
 One salt-bucketed ``applyInPandas`` stage (VERDICT r01 #8): clusters are
 bounded by size_max so each fits trivially in memory, but at 10^5-10^6
